@@ -1,0 +1,307 @@
+r"""Exact Gaussian-process regression model (SingleTaskGP equivalent).
+
+TPU-native re-design of `botorch/models/gp_regression.py:68-255` +
+`botorch/models/gpytorch.py`: the model is an immutable pytree holding
+train data, standardization constants, and log-space hyperparameters; every
+operation (MLL, posterior, conditioning) is a pure jit/vmap-safe function.
+There is no module mutation, no train/eval mode, and no lazy prediction
+strategy — the train-cache (Cholesky factor + weight vector) is an explicit
+pytree computed once and reused.
+
+Defaults match the reference (BoTorch 0.11.3, [Hvarfner2024vanilla]):
+ARD RBF kernel without outputscale, dim-scaled LogNormal lengthscale prior
+with a 0.025 floor, LogNormal(-4, 1) noise prior with a 1e-4 floor
+(`models/utils/gpytorch_modules.py:74-127`), constant mean, and a
+`Standardize` outcome transform baked into the model
+(`gp_regression.py:166-169`).
+
+Multi-output (`m > 1`) follows the reference's batched-multi-output design
+(`models/gpytorch.py:265-459`): hyperparameters carry a leading `(m,)`
+batch dim, internals vmap over it, and the posterior treats outputs as
+independent.
+
+Ensemble/fully-Bayesian models reuse this module by adding extra leading
+batch dims to `GPParams` (see `models/fully_bayesian.py` here).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from botorch_tpu.models import priors as priors_mod
+from botorch_tpu.ops.chol import (
+    DEFAULT_JITTER,
+    add_jitter,
+    chol_logdet,
+    cholesky_solve,
+    psd_safe_cholesky,
+    solve_triangular,
+)
+from botorch_tpu.ops.kernels import kernel_fn
+from botorch_tpu.posteriors.gaussian import GaussianPosterior
+
+Array = jax.Array
+
+_log_2pi = math.log(2.0 * math.pi)
+
+
+class GPParams(struct.PyTreeNode):
+    """Log-space GP hyperparameters. Leading dims = (output/ensemble) batch."""
+
+    mean: Array  # (...,) constant mean (standardized units)
+    raw_lengthscale: Array  # (..., d) log lengthscale
+    raw_outputscale: Array  # (...,) log outputscale (used iff use_outputscale)
+    raw_noise: Array  # (...,) log noise variance (used iff noise inferred)
+
+    @property
+    def lengthscale(self) -> Array:
+        return jnp.exp(self.raw_lengthscale)
+
+    @property
+    def outputscale(self) -> Array:
+        return jnp.exp(self.raw_outputscale)
+
+    @property
+    def noise(self) -> Array:
+        return jnp.exp(self.raw_noise)
+
+
+class SingleTaskGP(struct.PyTreeNode):
+    """Exact GP with Gaussian likelihood (inferred or fixed noise)."""
+
+    X: Array  # (n, d) train inputs (expected in [0, 1]^d or similar scale)
+    Y: Array  # (n, m) standardized train targets
+    params: GPParams  # leading (m,) batch over outputs
+    Y_loc: Array  # (m,) outcome standardization offset
+    Y_scale: Array  # (m,) outcome standardization scale
+    Yvar: Optional[Array] = None  # (n, m) fixed observation noise (std units)
+    kernel: str = struct.field(pytree_node=False, default="rbf")
+    use_outputscale: bool = struct.field(pytree_node=False, default=False)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def num_outputs(self) -> int:
+        return self.Y.shape[-1]
+
+    @property
+    def dim(self) -> int:
+        return self.X.shape[-1]
+
+    @property
+    def num_train(self) -> int:
+        return self.X.shape[-2]
+
+    @property
+    def infer_noise(self) -> bool:
+        return self.Yvar is None
+
+    @property
+    def batch_shape(self) -> tuple[int, ...]:
+        """Extra leading batch dims of the hyperparameters beyond the output
+        dim (e.g. an MCMC ensemble axis)."""
+        return self.params.mean.shape[:-1]
+
+    # ------------------------------------------------------------------ #
+    def _noise_diag(self, params: GPParams, out: int) -> Array:
+        """Per-output noise diagonal (n,) in standardized units."""
+        if self.Yvar is not None:
+            return self.Yvar[..., out]
+        return jnp.broadcast_to(params.noise[..., None], (self.num_train,))
+
+    def _kernel(self, params: GPParams, x: Array, z: Array) -> Array:
+        k = kernel_fn(self.kernel)(x, z, params.lengthscale)
+        if self.use_outputscale:
+            k = params.outputscale * k
+        return k
+
+    # ------------------------------------------------------------------ #
+    def train_chol(self, params: Optional[GPParams] = None) -> tuple[Array, Array]:
+        """Per-output Cholesky of `K + noise I` and weights `K^-1 (y - mu)`.
+
+        Returns `(L: (m, n, n), alpha: (m, n))` — the explicit analogue of
+        gpytorch's cached prediction strategy (`models/gpytorch.py:189`).
+        """
+        params = self.params if params is None else params
+
+        def one(out: int):
+            p = jax.tree_util.tree_map(lambda a: a[..., out], params)
+            # restore trailing dim removed from lengthscale indexing
+            p = p.replace(raw_lengthscale=params.raw_lengthscale[..., out, :])
+            K = self._kernel(p, self.X, self.X)
+            K = K + jnp.diag(self._noise_diag(p, out))
+            L = psd_safe_cholesky(K)
+            resid = self.Y[..., out] - p.mean
+            alpha = cholesky_solve(L, resid[..., None])[..., 0]
+            return L, alpha
+
+        Ls, alphas = [], []
+        for out in range(self.num_outputs):
+            L, a = one(out)
+            Ls.append(L)
+            alphas.append(a)
+        return jnp.stack(Ls, axis=-3), jnp.stack(alphas, axis=-2)
+
+    # ------------------------------------------------------------------ #
+    def mll(self, params: Optional[GPParams] = None) -> Array:
+        """Exact marginal log likelihood, summed over outputs.
+
+        `-(1/2) [ (y-mu)^T K^-1 (y-mu) + logdet K + n log 2pi ]` per output
+        (the quantity gpytorch's `ExactMarginalLogLikelihood` computes,
+        un-normalized by n)."""
+        params = self.params if params is None else params
+        n = self.num_train
+
+        def one(out: int) -> Array:
+            p = jax.tree_util.tree_map(lambda a: a[..., out], params)
+            p = p.replace(raw_lengthscale=params.raw_lengthscale[..., out, :])
+            K = self._kernel(p, self.X, self.X)
+            K = K + jnp.diag(self._noise_diag(p, out))
+            L = jnp.linalg.cholesky(add_jitter(K, DEFAULT_JITTER))
+            resid = self.Y[..., out] - p.mean
+            z = solve_triangular(L, resid[..., None])[..., 0]
+            return -0.5 * (jnp.sum(z * z, -1) + chol_logdet(L) + n * _log_2pi)
+
+        return sum(one(out) for out in range(self.num_outputs))
+
+    def log_prior(self, params: Optional[GPParams] = None) -> Array:
+        """Log prior density over hyperparameters (no Jacobian — see
+        `models/priors.py` docstring)."""
+        params = self.params if params is None else params
+        ls_prior = priors_mod.dim_scaled_lognormal_lengthscale_prior(self.dim)
+        lp = jnp.sum(ls_prior.log_prob(params.lengthscale), axis=(-1, -2))
+        if self.infer_noise:
+            lp = lp + jnp.sum(priors_mod.lognormal_noise_prior().log_prob(params.noise), -1)
+        if self.use_outputscale:
+            lp = lp + jnp.sum(priors_mod.Gamma(2.0, 0.15).log_prob(params.outputscale), -1)
+        return lp
+
+    def map_objective(self, params: GPParams) -> Array:
+        """Negative (MLL + log prior): the MAP fitting loss."""
+        return -(self.mll(params) + self.log_prior(params))
+
+    # ------------------------------------------------------------------ #
+    def posterior(
+        self,
+        Xq: Array,
+        observation_noise: bool = False,
+        cache: Optional[tuple[Array, Array]] = None,
+    ) -> GaussianPosterior:
+        """Joint posterior over `Xq: (..., q, d)` in ORIGINAL outcome units.
+
+        Mirrors `Model.posterior` (`botorch/models/model.py:81-116` /
+        `gpytorch.py:405-462`): predictive MVN of the latent function, plus
+        likelihood noise if `observation_noise`, un-standardized via the
+        stored outcome transform.
+        """
+        L, alpha = self.train_chol() if cache is None else cache
+
+        def one(out: int):
+            p = jax.tree_util.tree_map(lambda a: a[..., out], self.params)
+            p = p.replace(raw_lengthscale=self.params.raw_lengthscale[..., out, :])
+            Ks = self._kernel(p, self.X, Xq)  # (..., n, q)
+            Kss = self._kernel(p, Xq, Xq)  # (..., q, q)
+            mean = p.mean[..., None] + jnp.swapaxes(Ks, -1, -2) @ alpha[..., out, :, None]
+            v = solve_triangular(L[..., out, :, :], Ks)  # (..., n, q)
+            cov = Kss - jnp.swapaxes(v, -1, -2) @ v
+            if observation_noise:
+                if self.Yvar is not None:
+                    nz = jnp.mean(self.Yvar[..., out], axis=-1)
+                else:
+                    nz = p.noise
+                cov = cov + nz[..., None, None] * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+            return mean[..., 0], cov
+
+        means, covs = [], []
+        for out in range(self.num_outputs):
+            mu, cov = one(out)
+            means.append(mu)
+            covs.append(cov)
+        mean = jnp.stack(means, axis=-1)  # (..., q, m)
+        cov = jnp.stack(covs, axis=-3)  # (..., m, q, q)
+        post = GaussianPosterior(mean=mean, cov=cov)
+        return post.affine(self.Y_loc, self.Y_scale)
+
+    # ------------------------------------------------------------------ #
+    def condition_on_observations(self, X_new: Array, Y_new: Array) -> "SingleTaskGP":
+        """Append observations (raw units), keeping transforms and
+        hyperparameters fixed (`models/model.py:149` semantics)."""
+        Y_std = (Y_new - self.Y_loc) / self.Y_scale
+        model = self.replace(
+            X=jnp.concatenate([self.X, X_new], axis=-2),
+            Y=jnp.concatenate([self.Y, Y_std], axis=-2),
+        )
+        if self.Yvar is not None:
+            noise = jnp.broadcast_to(
+                jnp.mean(self.Yvar, axis=-2, keepdims=True), Y_std.shape
+            )
+            model = model.replace(Yvar=jnp.concatenate([self.Yvar, noise], axis=-2))
+        return model
+
+    def train_targets_original(self) -> Array:
+        """Train targets in original units, (n, m)."""
+        return self.Y * self.Y_scale + self.Y_loc
+
+
+# ---------------------------------------------------------------------- #
+def default_init_params(d: int, m: int = 1, use_outputscale: bool = False) -> GPParams:
+    """Initial hyperparameters at the prior modes (reference
+    `gpytorch_modules.py:117-126` uses `initial_value=prior.mode`)."""
+    ls_prior = priors_mod.dim_scaled_lognormal_lengthscale_prior(d)
+    noise_prior = priors_mod.lognormal_noise_prior()
+    return GPParams(
+        mean=jnp.zeros((m,)),
+        raw_lengthscale=jnp.full((m, d), math.log(ls_prior.mode)),
+        raw_outputscale=jnp.zeros((m,)),
+        raw_noise=jnp.full((m,), math.log(noise_prior.mode)),
+    )
+
+
+def make_gp(
+    train_X: Array,
+    train_Y: Array,
+    train_Yvar: Optional[Array] = None,
+    kernel: str = "rbf",
+    use_outputscale: bool = False,
+    standardize: bool = True,
+    params: Optional[GPParams] = None,
+) -> SingleTaskGP:
+    """Construct a `SingleTaskGP` with a baked-in Standardize outcome
+    transform (`gp_regression.py:166-169`).
+
+    Args:
+        train_X: `(n, d)` inputs.
+        train_Y: `(n, m)` (or `(n,)`) observations in original units.
+        train_Yvar: optional `(n, m)` observation noise (original units^2).
+    """
+    if train_Y.ndim == 1:
+        train_Y = train_Y[:, None]
+    n, m = train_Y.shape
+    d = train_X.shape[-1]
+    if standardize and n > 1:
+        loc = jnp.mean(train_Y, axis=0)
+        scale = jnp.std(train_Y, axis=0, ddof=1)
+        scale = jnp.where(scale < 1e-8, 1.0, scale)
+    else:
+        loc = jnp.zeros((m,))
+        scale = jnp.ones((m,))
+    Y_std = (train_Y - loc) / scale
+    if train_Yvar is not None and train_Yvar.ndim == 1:
+        train_Yvar = train_Yvar[:, None]
+    Yvar_std = None if train_Yvar is None else train_Yvar / jnp.square(scale)
+    if params is None:
+        params = default_init_params(d, m, use_outputscale)
+    return SingleTaskGP(
+        X=train_X,
+        Y=Y_std,
+        params=params,
+        Y_loc=loc,
+        Y_scale=scale,
+        Yvar=Yvar_std,
+        kernel=kernel,
+        use_outputscale=use_outputscale,
+    )

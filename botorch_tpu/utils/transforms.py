@@ -1,0 +1,48 @@
+r"""Input/outcome normalization helpers and batch-shape conventions.
+
+JAX analogue of `botorch/utils/transforms.py:26-121` (normalize /
+unnormalize / standardize). The reference's `t_batch_mode_transform`
+decorator (same file, :228) has no direct analogue here: acquisition
+functions in this framework are written for a single `(q, d)` candidate set
+and batched explicitly with `jax.vmap`, which is the idiomatic JAX way to
+get the `b x q x d -> b` contract.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def normalize(X: Array, bounds: Array) -> Array:
+    """Min-max scale `X` (shape `... x d`) to `[0, 1]^d` given `bounds` (2 x d)."""
+    lo, hi = bounds[0], bounds[1]
+    return (X - lo) / (hi - lo)
+
+
+def unnormalize(X: Array, bounds: Array) -> Array:
+    """Inverse of :func:`normalize`."""
+    lo, hi = bounds[0], bounds[1]
+    return X * (hi - lo) + lo
+
+
+def normalize_indices(indices, d: int):
+    """Normalize (possibly negative) indices into `range(d)`."""
+    if indices is None:
+        return None
+    return [i % d for i in indices]
+
+
+def standardize(Y: Array) -> Array:
+    """Standardize `Y` (shape `... x n x m`) to zero mean / unit variance per
+    output along the `n` axis, guarding degenerate (n<=1 or constant) cases."""
+    stddim = -1 if Y.ndim <= 1 else -2
+    n = Y.shape[stddim]
+    if n <= 1:
+        return jnp.zeros_like(Y)
+    mean = jnp.mean(Y, axis=stddim, keepdims=True)
+    std = jnp.std(Y, axis=stddim, ddof=1, keepdims=True)
+    std = jnp.where(std < 1e-12, 1.0, std)
+    return (Y - mean) / std
