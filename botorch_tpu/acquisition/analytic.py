@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
+from botorch_tpu.utils.safe_math import logmeanexp
 from botorch_tpu.utils.probability import (
     ei_helper,
     log_ei_helper,
@@ -37,6 +38,16 @@ Array = jax.Array
 _MIN_VAR = 1e-12
 
 
+def reduce_ensemble(val: Array, log: bool = False) -> Array:
+    """Average an acquisition value over ensemble (MCMC) batch dims —
+    arithmetic mean for linear acqfs, logmeanexp for log acqfs (reference
+    `utils/transforms.py:292-296`). No-op for non-ensemble scalars."""
+    if val.ndim == 0:
+        return val
+    axes = tuple(range(val.ndim))
+    return logmeanexp(val, axis=axes) if log else jnp.mean(val)
+
+
 class AnalyticAcquisitionFunction(struct.PyTreeNode):
     """Shared machinery: marginal posterior moments at a single point."""
 
@@ -45,8 +56,9 @@ class AnalyticAcquisitionFunction(struct.PyTreeNode):
     maximize: bool = struct.field(pytree_node=False, default=True)
 
     def _mean_and_sigma(self, X: Array) -> tuple[Array, Array]:
-        """Posterior mean and stddev at `X: (1, d)` -> two scalars
-        (reference `analytic.py:84-116`)."""
+        """Posterior mean and stddev at `X: (1, d)` -> scalars (or
+        ensemble-batched values for fully-Bayesian models;
+        reference `analytic.py:84-116`)."""
         post = self.model.posterior(X, cache=self.cache)
         mean = post.mean[..., 0, 0]
         sigma = jnp.sqrt(jnp.clip(post.variance[..., 0, 0], _MIN_VAR))
@@ -62,7 +74,7 @@ class ExpectedImprovement(AnalyticAcquisitionFunction):
         mean, sigma = self._mean_and_sigma(X)
         u = (mean - self.best_f) / sigma
         u = u if self.maximize else -u
-        return sigma * ei_helper(u)
+        return reduce_ensemble(sigma * ei_helper(u))
 
 
 class LogExpectedImprovement(AnalyticAcquisitionFunction):
@@ -75,7 +87,7 @@ class LogExpectedImprovement(AnalyticAcquisitionFunction):
         mean, sigma = self._mean_and_sigma(X)
         u = (mean - self.best_f) / sigma
         u = u if self.maximize else -u
-        return log_ei_helper(u) + jnp.log(sigma)
+        return reduce_ensemble(log_ei_helper(u) + jnp.log(sigma), log=True)
 
 
 class ProbabilityOfImprovement(AnalyticAcquisitionFunction):
@@ -86,7 +98,7 @@ class ProbabilityOfImprovement(AnalyticAcquisitionFunction):
     def __call__(self, X: Array) -> Array:
         mean, sigma = self._mean_and_sigma(X)
         u = (mean - self.best_f) / sigma
-        return ndtr(u if self.maximize else -u)
+        return reduce_ensemble(ndtr(u if self.maximize else -u))
 
 
 class LogProbabilityOfImprovement(AnalyticAcquisitionFunction):
@@ -97,7 +109,7 @@ class LogProbabilityOfImprovement(AnalyticAcquisitionFunction):
     def __call__(self, X: Array) -> Array:
         mean, sigma = self._mean_and_sigma(X)
         u = (mean - self.best_f) / sigma
-        return log_ndtr(u if self.maximize else -u)
+        return reduce_ensemble(log_ndtr(u if self.maximize else -u), log=True)
 
 
 class UpperConfidenceBound(AnalyticAcquisitionFunction):
@@ -108,7 +120,7 @@ class UpperConfidenceBound(AnalyticAcquisitionFunction):
     def __call__(self, X: Array) -> Array:
         mean, sigma = self._mean_and_sigma(X)
         delta = jnp.sqrt(self.beta) * sigma
-        return mean + delta if self.maximize else -(mean - delta)
+        return reduce_ensemble(mean + delta if self.maximize else -(mean - delta))
 
 
 class PosteriorMean(AnalyticAcquisitionFunction):
@@ -116,7 +128,7 @@ class PosteriorMean(AnalyticAcquisitionFunction):
 
     def __call__(self, X: Array) -> Array:
         mean, _ = self._mean_and_sigma(X)
-        return mean if self.maximize else -mean
+        return reduce_ensemble(mean if self.maximize else -mean)
 
 
 class PosteriorStandardDeviation(AnalyticAcquisitionFunction):
@@ -124,7 +136,7 @@ class PosteriorStandardDeviation(AnalyticAcquisitionFunction):
 
     def __call__(self, X: Array) -> Array:
         _, sigma = self._mean_and_sigma(X)
-        return sigma
+        return reduce_ensemble(sigma)
 
 
 class ScalarizedPosteriorMean(AnalyticAcquisitionFunction):

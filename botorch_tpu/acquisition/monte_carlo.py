@@ -46,6 +46,15 @@ TAU_MAX = 1e-2
 DEFAULT_MC_SAMPLES = 512  # reference `acquisition/acquisition.py:116`
 
 
+def _reduce(val: Array, log: bool = False) -> Array:
+    """Reduce ensemble (MCMC) batch dims: mean / logmeanexp (reference
+    `utils/transforms.py:292-296`)."""
+    if val.ndim == 0:
+        return val
+    axes = tuple(range(val.ndim))
+    return sm.logmeanexp(val, axis=axes) if log else jnp.mean(val)
+
+
 def identity_objective(samples: Array) -> Array:
     """Default MC objective: first output (`objective.py:288`)."""
     return samples[..., 0]
@@ -95,9 +104,18 @@ class MCAcquisitionFunction(struct.PyTreeNode):
         return jnp.concatenate([X, self.X_pending], axis=-2)
 
     def _samples_and_obj(self, X: Array) -> tuple[Array, Array]:
-        """Posterior samples `(nmc, q, m)` and objective values `(nmc, q)`."""
+        """Posterior samples `(nmc, [S,] q, m)` and objective values
+        `(nmc, [S,] q)` — `S` present for ensemble (fully-Bayesian) models,
+        with base samples SHARED across ensemble members (the collapsed
+        base-sample rule over the MCMC dim, reference
+        `sampling/get_sampler.py` + `posteriors/fully_bayesian.py`)."""
         post = self.model.posterior(X, cache=self.cache)
-        samples = post.rsample_from_base_samples(self.base_samples)
+        base = self.base_samples
+        extra = len(post.batch_shape)
+        if extra:
+            nmc, q, m = base.shape
+            base = base.reshape(nmc, *([1] * extra), q, m)
+        samples = post.rsample_from_base_samples(base)
         return samples, self.objective(samples)
 
     def _log_feas(self, samples: Array) -> Array:
@@ -127,7 +145,7 @@ class qExpectedImprovement(MCAcquisitionFunction):
                     self.constraints, samples, self.eta, fat=False
                 )
             )
-        return jnp.mean(jnp.max(imp, axis=-1), axis=0)
+        return _reduce(jnp.mean(jnp.max(imp, axis=-1), axis=0))
 
 
 class qLogExpectedImprovement(MCAcquisitionFunction):
@@ -145,7 +163,10 @@ class qLogExpectedImprovement(MCAcquisitionFunction):
         samples, obj = self._samples_and_obj(X)
         li = sm.log_fatplus(obj - self.best_f, tau=self.tau_relu)
         li = li + self._log_feas(samples)
-        return sm.logmeanexp(sm.fatmax(li, axis=-1, tau=self.tau_max), axis=0)
+        return _reduce(
+            sm.logmeanexp(sm.fatmax(li, axis=-1, tau=self.tau_max), axis=0),
+            log=True,
+        )
 
 
 class qProbabilityOfImprovement(MCAcquisitionFunction):
@@ -164,7 +185,7 @@ class qProbabilityOfImprovement(MCAcquisitionFunction):
                     self.constraints, samples, self.eta, fat=False
                 )
             )
-        return jnp.mean(jnp.max(val, axis=-1), axis=0)
+        return _reduce(jnp.mean(jnp.max(val, axis=-1), axis=0))
 
 
 class qSimpleRegret(MCAcquisitionFunction):
@@ -173,7 +194,7 @@ class qSimpleRegret(MCAcquisitionFunction):
     def __call__(self, X: Array) -> Array:
         X = self._with_pending(X)
         _, obj = self._samples_and_obj(X)
-        return jnp.mean(jnp.max(obj, axis=-1), axis=0)
+        return _reduce(jnp.mean(jnp.max(obj, axis=-1), axis=0))
 
 
 class qUpperConfidenceBound(MCAcquisitionFunction):
@@ -189,7 +210,7 @@ class qUpperConfidenceBound(MCAcquisitionFunction):
         mean = self.objective(jnp.broadcast_to(post.mean, samples.shape[1:]))
         beta_prime = math.sqrt(self.beta * math.pi / 2.0)
         ucb = mean + beta_prime * jnp.abs(obj - mean)
-        return jnp.mean(jnp.max(ucb, axis=-1), axis=0)
+        return _reduce(jnp.mean(jnp.max(ucb, axis=-1), axis=0))
 
 
 # ------------------------------------------------------------------------- #
@@ -231,7 +252,7 @@ class qNoisyExpectedImprovement(_NoisyMixin):
                     self.constraints, samples_new, self.eta, fat=False
                 )
             )
-        return jnp.mean(jnp.max(imp, axis=-1), axis=0)
+        return _reduce(jnp.mean(jnp.max(imp, axis=-1), axis=0))
 
 
 class qLogNoisyExpectedImprovement(_NoisyMixin):
@@ -247,7 +268,10 @@ class qLogNoisyExpectedImprovement(_NoisyMixin):
         samples_new, obj_new, best_f = self._joint_obj(X)
         li = sm.log_fatplus(obj_new - best_f, tau=self.tau_relu)
         li = li + self._log_feas(samples_new)
-        return sm.logmeanexp(sm.fatmax(li, axis=-1, tau=self.tau_max), axis=0)
+        return _reduce(
+            sm.logmeanexp(sm.fatmax(li, axis=-1, tau=self.tau_max), axis=0),
+            log=True,
+        )
 
 
 # ------------------------------------------------------------------------- #

@@ -102,12 +102,13 @@ def sample_params_from_priors(
     )
 
 
-@partial(jax.jit, static_argnames=("num_restarts", "maxiter"))
+@partial(jax.jit, static_argnames=("num_restarts", "maxiter", "shard_fn"))
 def fit_gp(
     model: SingleTaskGP,
     key: Optional[Array] = None,
     num_restarts: int = 8,
     maxiter: int = 100,
+    shard_fn=None,
 ) -> SingleTaskGP:
     """MAP-fit the GP hyperparameters; returns the fitted model.
 
@@ -137,7 +138,7 @@ def fit_gp(
     lo = ravel_pytree(lo_t)[0].astype(dtype)
     hi = ravel_pytree(hi_t)[0].astype(dtype)
 
-    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter)
+    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter, shard_fn=shard_fn)
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
     return model.replace(params=unravel(res.x[best]))

@@ -80,6 +80,7 @@ class SingleTaskGP(struct.PyTreeNode):
     Y_loc: Array  # (m,) outcome standardization offset
     Y_scale: Array  # (m,) outcome standardization scale
     Yvar: Optional[Array] = None  # (n, m) fixed observation noise (std units)
+    mask: Optional[Array] = None  # (n,) validity mask for padded train data
     kernel: str = struct.field(pytree_node=False, default="rbf")
     use_outputscale: bool = struct.field(pytree_node=False, default=False)
 
@@ -106,17 +107,41 @@ class SingleTaskGP(struct.PyTreeNode):
         dim (e.g. an MCMC ensemble axis)."""
         return self.params.mean.shape[:-1]
 
+    @property
+    def num_valid(self) -> Array:
+        """Number of real (unmasked) observations."""
+        if self.mask is None:
+            return jnp.asarray(self.num_train, jnp.float32)
+        return jnp.sum(self.mask.astype(jnp.float32))
+
+    def _mask_K(self, K: Array) -> Array:
+        """Decouple padded rows/cols: the padded block becomes the identity,
+        so its Cholesky/logdet/solve contributions vanish exactly. This is
+        what lets one compiled program serve a growing BO history."""
+        if self.mask is None:
+            return K
+        m = self.mask.astype(K.dtype)
+        pair = m[..., :, None] * m[..., None, :]
+        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+        return K * pair + (1.0 - pair) * eye
+
+    def _mask_vec(self, v: Array) -> Array:
+        if self.mask is None:
+            return v
+        return v * self.mask.astype(v.dtype)
+
     # ------------------------------------------------------------------ #
     def _noise_diag(self, params: GPParams, out: int) -> Array:
-        """Per-output noise diagonal (n,) in standardized units."""
+        """Per-output noise diagonal (..., n) in standardized units."""
         if self.Yvar is not None:
             return self.Yvar[..., out]
-        return jnp.broadcast_to(params.noise[..., None], (self.num_train,))
+        shape = (*params.noise.shape, self.num_train)
+        return jnp.broadcast_to(params.noise[..., None], shape)
 
     def _kernel(self, params: GPParams, x: Array, z: Array) -> Array:
         k = kernel_fn(self.kernel)(x, z, params.lengthscale)
         if self.use_outputscale:
-            k = params.outputscale * k
+            k = params.outputscale[..., None, None] * k
         return k
 
     # ------------------------------------------------------------------ #
@@ -133,9 +158,10 @@ class SingleTaskGP(struct.PyTreeNode):
             # restore trailing dim removed from lengthscale indexing
             p = p.replace(raw_lengthscale=params.raw_lengthscale[..., out, :])
             K = self._kernel(p, self.X, self.X)
-            K = K + jnp.diag(self._noise_diag(p, out))
+            nd = self._noise_diag(p, out)
+            K = self._mask_K(K + nd[..., :, None] * jnp.eye(K.shape[-1], dtype=K.dtype))
             L = psd_safe_cholesky(K)
-            resid = self.Y[..., out] - p.mean
+            resid = self._mask_vec(self.Y[..., out] - p.mean[..., None])
             alpha = cholesky_solve(L, resid[..., None])[..., 0]
             return L, alpha
 
@@ -154,15 +180,16 @@ class SingleTaskGP(struct.PyTreeNode):
         (the quantity gpytorch's `ExactMarginalLogLikelihood` computes,
         un-normalized by n)."""
         params = self.params if params is None else params
-        n = self.num_train
+        n = self.num_valid
 
         def one(out: int) -> Array:
             p = jax.tree_util.tree_map(lambda a: a[..., out], params)
             p = p.replace(raw_lengthscale=params.raw_lengthscale[..., out, :])
             K = self._kernel(p, self.X, self.X)
-            K = K + jnp.diag(self._noise_diag(p, out))
+            nd = self._noise_diag(p, out)
+            K = self._mask_K(K + nd[..., :, None] * jnp.eye(K.shape[-1], dtype=K.dtype))
             L = jnp.linalg.cholesky(add_jitter(K, DEFAULT_JITTER))
-            resid = self.Y[..., out] - p.mean
+            resid = self._mask_vec(self.Y[..., out] - p.mean[..., None])
             z = solve_triangular(L, resid[..., None])[..., 0]
             return -0.5 * (jnp.sum(z * z, -1) + chol_logdet(L) + n * _log_2pi)
 
@@ -204,8 +231,10 @@ class SingleTaskGP(struct.PyTreeNode):
             p = jax.tree_util.tree_map(lambda a: a[..., out], self.params)
             p = p.replace(raw_lengthscale=self.params.raw_lengthscale[..., out, :])
             Ks = self._kernel(p, self.X, Xq)  # (..., n, q)
+            if self.mask is not None:
+                Ks = Ks * self.mask.astype(Ks.dtype)[..., :, None]
             Kss = self._kernel(p, Xq, Xq)  # (..., q, q)
-            mean = p.mean[..., None] + jnp.swapaxes(Ks, -1, -2) @ alpha[..., out, :, None]
+            mean = p.mean[..., None, None] + jnp.swapaxes(Ks, -1, -2) @ alpha[..., out, :, None]
             v = solve_triangular(L[..., out, :, :], Ks)  # (..., n, q)
             cov = Kss - jnp.swapaxes(v, -1, -2) @ v
             if observation_noise:
@@ -269,6 +298,7 @@ def make_gp(
     use_outputscale: bool = False,
     standardize: bool = True,
     params: Optional[GPParams] = None,
+    mask: Optional[Array] = None,
 ) -> SingleTaskGP:
     """Construct a `SingleTaskGP` with a baked-in Standardize outcome
     transform (`gp_regression.py:166-169`).
@@ -282,9 +312,16 @@ def make_gp(
         train_Y = train_Y[:, None]
     n, m = train_Y.shape
     d = train_X.shape[-1]
-    if standardize and n > 1:
-        loc = jnp.mean(train_Y, axis=0)
-        scale = jnp.std(train_Y, axis=0, ddof=1)
+    if standardize and (mask is not None or n > 1):
+        if mask is None:
+            loc = jnp.mean(train_Y, axis=0)
+            scale = jnp.std(train_Y, axis=0, ddof=1)
+        else:
+            w = mask.astype(train_Y.dtype)[:, None]
+            nv = jnp.maximum(jnp.sum(w), 2.0)
+            loc = jnp.sum(train_Y * w, axis=0) / nv
+            var = jnp.sum(jnp.square(train_Y - loc) * w, axis=0) / (nv - 1.0)
+            scale = jnp.sqrt(var)
         scale = jnp.where(scale < 1e-8, 1.0, scale)
     else:
         loc = jnp.zeros((m,))
@@ -302,6 +339,7 @@ def make_gp(
         Y_loc=loc,
         Y_scale=scale,
         Yvar=Yvar_std,
+        mask=mask,
         kernel=kernel,
         use_outputscale=use_outputscale,
     )

@@ -45,29 +45,35 @@ def pairwise_dist(x: Array, z: Array) -> Array:
     return jnp.where(d2 > 0, safe, 0.0)
 
 
+def _scale(x: Array, lengthscale: Array) -> Array:
+    """Divide points by ARD lengthscales, broadcasting hyperparameter batch
+    dims: `x (..., n, d) / ls (..., d) -> (..., n, d)` with leading dims
+    broadcast (ensemble/output batches)."""
+    return x / lengthscale[..., None, :]
+
+
 def rbf(x: Array, z: Array, lengthscale: Array) -> Array:
     """ARD RBF (squared-exponential) kernel matrix."""
-    xs, zs = x / lengthscale, z / lengthscale
-    return jnp.exp(-0.5 * pairwise_sqdist(xs, zs))
+    return jnp.exp(-0.5 * pairwise_sqdist(_scale(x, lengthscale), _scale(z, lengthscale)))
 
 
 def matern52(x: Array, z: Array, lengthscale: Array) -> Array:
     """ARD Matern-5/2 kernel matrix (reference `fully_bayesian.py:81-91`)."""
-    r = pairwise_dist(x / lengthscale, z / lengthscale)
+    r = pairwise_dist(_scale(x, lengthscale), _scale(z, lengthscale))
     sr = _sqrt5 * r
     return (1.0 + sr + (5.0 / 3.0) * jnp.square(r)) * jnp.exp(-sr)
 
 
 def matern32(x: Array, z: Array, lengthscale: Array) -> Array:
     """ARD Matern-3/2 kernel matrix."""
-    r = pairwise_dist(x / lengthscale, z / lengthscale)
+    r = pairwise_dist(_scale(x, lengthscale), _scale(z, lengthscale))
     sr = _sqrt3 * r
     return (1.0 + sr) * jnp.exp(-sr)
 
 
 def matern12(x: Array, z: Array, lengthscale: Array) -> Array:
     """ARD Matern-1/2 (exponential) kernel matrix."""
-    r = pairwise_dist(x / lengthscale, z / lengthscale)
+    r = pairwise_dist(_scale(x, lengthscale), _scale(z, lengthscale))
     return jnp.exp(-r)
 
 

@@ -228,13 +228,19 @@ def multi_start_lbfgsb(
     history: int = 10,
     tol: float = 1e-5,
     max_ls: int = 25,
+    shard_fn: Optional[Callable[[Array], Array]] = None,
 ) -> LBFGSResult:
     """Run `lbfgsb` from a batch of starts `x0_batch: (r, k)` in lockstep.
 
     This is the restart axis of `optimize_acqf` (reference
     `optim/optimize.py:268-305` chunks restarts for scipy; here they run as
-    one compiled program and can be sharded over a mesh).
+    one compiled program). `shard_fn` (from
+    `parallel.sharding.leading_axis_sharder`) shards the restart axis over
+    a device mesh; each lane's solve is then fully local and the final
+    argmax is the only collective.
     """
+    if shard_fn is not None:
+        x0_batch = shard_fn(x0_batch)
     solver = lambda x0: lbfgsb(
         fun, x0, bounds=bounds, maxiter=maxiter, history=history, tol=tol,
         max_ls=max_ls,

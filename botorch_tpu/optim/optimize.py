@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from botorch_tpu.ops.lbfgs import multi_start_lbfgsb
-from botorch_tpu.sampling.sobol import draw_sobol_samples
+from botorch_tpu.sampling.sobol import draw_sobol, draw_sobol_samples, sobol_table
 
 Array = jax.Array
 
@@ -66,10 +66,25 @@ def gen_batch_initial_conditions(
     seed: int = 0,
     eta: float = 1.0,
     batch_eval_limit: Optional[int] = None,
+    sobol: Optional[tuple[Array, Array]] = None,
+    sobol_skip: Array | int = 0,
 ) -> Array:
     """Sobol raw q-batches -> no-grad acqf eval -> Boltzmann selection
-    (reference `initializers.py:243-438`). Returns `(num_restarts, q, d)`."""
-    X_raw = draw_sobol_samples(bounds, raw_samples, q, seed=seed)
+    (reference `initializers.py:243-438`). Returns `(num_restarts, q, d)`.
+
+    `sobol`/`sobol_skip` allow a caller (e.g. a fully-compiled BO loop) to
+    supply a persistent scrambled-Sobol stream and a traced skip offset, so
+    successive iterations continue one low-discrepancy sequence without
+    host-side table rebuilds.
+    """
+    d = bounds.shape[-1]
+    if sobol is None:
+        X_raw = draw_sobol_samples(bounds, raw_samples, q, seed=seed)
+    else:
+        sv, shift = sobol
+        u = draw_sobol(sv, shift, raw_samples, skip=sobol_skip)
+        u = u.reshape(raw_samples, q, d)
+        X_raw = bounds[0] + (bounds[1] - bounds[0]) * u
     vals = jax.lax.map(
         acqf, X_raw, batch_size=batch_eval_limit or raw_samples
     )
@@ -87,6 +102,9 @@ def optimize_acqf(
     seed: int = 0,
     initial_conditions: Optional[Array] = None,
     return_full: bool = False,
+    sobol: Optional[tuple[Array, Array]] = None,
+    sobol_skip: Array | int = 0,
+    shard_fn=None,
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
 
@@ -105,7 +123,8 @@ def optimize_acqf(
 
     if initial_conditions is None:
         ics = gen_batch_initial_conditions(
-            acqf, bounds, q, num_restarts, raw_samples, key, seed=seed
+            acqf, bounds, q, num_restarts, raw_samples, key, seed=seed,
+            sobol=sobol, sobol_skip=sobol_skip,
         )
     else:
         ics = initial_conditions
@@ -119,6 +138,7 @@ def optimize_acqf(
         ics.reshape(num_restarts, q * d),
         bounds=(lo, hi),
         maxiter=maxiter,
+        shard_fn=shard_fn,
     )
     vals = jnp.where(jnp.isfinite(res.fun), -res.fun, -jnp.inf)
     cands = res.x.reshape(num_restarts, q, d)

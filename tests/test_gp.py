@@ -1,0 +1,142 @@
+"""Exact-GP parity tests: posterior moments vs a float64 numpy reference
+implementation with identical hyperparameters (replaces reference-parity
+runs, since gpytorch is not installed; reference semantics:
+`botorch/models/gp_regression.py`, `botorch/models/gpytorch.py:405-462`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.gp import GPParams, default_init_params, make_gp
+
+
+def _numpy_gp_posterior(X, Y, Xq, ls, noise, mean_c, loc, scale):
+    """Float64 reference: standardized-internal GP with RBF ARD kernel."""
+    X, Y, Xq = (np.asarray(a, np.float64) for a in (X, Y, Xq))
+    Ys = (Y - loc) / scale
+
+    def k(a, b):
+        d2 = ((a[:, None, :] / ls - b[None, :, :] / ls) ** 2).sum(-1)
+        return np.exp(-0.5 * d2)
+
+    n = X.shape[0]
+    K = k(X, X) + noise * np.eye(n) + 1e-6 * np.eye(n)  # matches DEFAULT_JITTER
+    Ks = k(X, Xq)
+    Kss = k(Xq, Xq)
+    Ki = np.linalg.inv(K)
+    mu = mean_c + Ks.T @ Ki @ (Ys - mean_c)
+    cov = Kss - Ks.T @ Ki @ Ks
+    return loc + scale * mu, scale**2 * cov
+
+
+def _data(n=15, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    Y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0])) + np.asarray(X[:, 1]), jnp.float32)
+    return X, Y
+
+
+def test_posterior_matches_numpy_float64():
+    X, Y = _data()
+    model = make_gp(X, Y)
+    ls = np.asarray(model.params.lengthscale[0], np.float64)
+    noise = float(model.params.noise[0])
+    mean_c = 0.3
+    model = model.replace(params=model.params.replace(mean=jnp.asarray([mean_c])))
+    Xq = jnp.asarray(np.random.default_rng(1).uniform(size=(5, 2)), jnp.float32)
+    post = model.posterior(Xq)
+    mu_ref, cov_ref = _numpy_gp_posterior(
+        X, Y, Xq, ls, noise, mean_c,
+        float(model.Y_loc[0]), float(model.Y_scale[0]),
+    )
+    np.testing.assert_allclose(np.asarray(post.mean[:, 0]), mu_ref, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(post.cov[0]), cov_ref, atol=2e-4)
+
+
+def test_mll_matches_numpy_float64():
+    X, Y = _data()
+    model = make_gp(X, Y)
+    ls = np.asarray(model.params.lengthscale[0], np.float64)
+    noise = float(model.params.noise[0])
+    Ys = np.asarray(model.Y[:, 0], np.float64)
+    n = len(Ys)
+    d2 = ((np.asarray(X, np.float64)[:, None, :] / ls
+           - np.asarray(X, np.float64)[None, :, :] / ls) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2) + (noise + 1e-6) * np.eye(n)
+    sign, logdet = np.linalg.slogdet(K)
+    mll_ref = -0.5 * (Ys @ np.linalg.solve(K, Ys) + logdet + n * np.log(2 * np.pi))
+    assert abs(float(model.mll()) - mll_ref) < 1e-3 * max(1, abs(mll_ref))
+
+
+def test_fit_improves_mll_and_respects_bounds():
+    X, Y = _data(n=20)
+    model = make_gp(X, Y)
+    before = float(model.mll())
+    fitted = fit_gp(model, jax.random.PRNGKey(0), num_restarts=4, maxiter=60)
+    after = float(fitted.mll())
+    assert after >= before
+    assert (np.asarray(fitted.params.lengthscale) >= 0.025 - 1e-6).all()
+    assert (np.asarray(fitted.params.noise) >= 1e-4 - 1e-9).all()
+
+
+def test_observation_noise_adds_to_variance():
+    X, Y = _data()
+    model = make_gp(X, Y)
+    Xq = X[:3]
+    v0 = model.posterior(Xq).variance
+    v1 = model.posterior(Xq, observation_noise=True).variance
+    assert (np.asarray(v1) > np.asarray(v0)).all()
+
+
+def test_fixed_noise_model():
+    X, Y = _data()
+    Yvar = jnp.full((15, 1), 0.01)
+    model = make_gp(X, Y, train_Yvar=Yvar)
+    assert not model.infer_noise
+    post = model.posterior(X[:2])
+    assert post.mean.shape == (2, 1)
+    fitted = fit_gp(model, jax.random.PRNGKey(0), num_restarts=2, maxiter=30)
+    # fixed noise must be untouched by fitting
+    np.testing.assert_allclose(
+        np.asarray(fitted.Yvar), np.asarray(model.Yvar)
+    )
+
+
+def test_multi_output_independent():
+    X, _ = _data()
+    Y = jnp.stack([jnp.sin(X[:, 0]), jnp.cos(X[:, 1])], axis=-1)
+    model = make_gp(X, Y)
+    assert model.num_outputs == 2
+    post = model.posterior(X[:4])
+    assert post.mean.shape == (4, 2)
+    assert post.cov.shape == (2, 4, 4)
+    s = post.rsample(jax.random.PRNGKey(0), (64,))
+    assert s.shape == (64, 4, 2)
+
+
+def test_condition_on_observations():
+    X, Y = _data()
+    model = make_gp(X, Y)
+    X_new = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    Y_new = jnp.asarray([[0.7]], jnp.float32)
+    cond = model.condition_on_observations(X_new, Y_new)
+    assert cond.num_train == model.num_train + 1
+    # posterior at the conditioned point shrinks toward the observation
+    v_before = float(model.posterior(X_new).variance[0, 0])
+    v_after = float(cond.posterior(X_new).variance[0, 0])
+    assert v_after < v_before
+
+
+def test_sample_moments_match_posterior():
+    X, Y = _data()
+    model = make_gp(X, Y)
+    Xq = jnp.asarray(np.random.default_rng(2).uniform(size=(6, 2)), jnp.float32)
+    post = model.posterior(Xq)
+    s = post.rsample(jax.random.PRNGKey(1), (4096,))
+    np.testing.assert_allclose(
+        np.asarray(s.mean(0)), np.asarray(post.mean), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.var(0)), np.asarray(post.variance), atol=0.05
+    )

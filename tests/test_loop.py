@@ -1,0 +1,91 @@
+"""Tests for the fully-compiled BO loop and the padded/masked GP
+(design: one XLA program for the whole BO run; see `botorch_tpu/loop.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from botorch_tpu.loop import (
+    BOState,
+    append_observations,
+    best_observed,
+    bo_step,
+    init_state,
+    run_bo_loop,
+)
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.sampling.sobol import sobol_table
+from botorch_tpu.test_functions.synthetic import Branin
+from botorch_tpu.utils.transforms import unnormalize
+
+
+def test_masked_gp_equals_unpadded():
+    """The padded model with k valid rows must produce the *same* posterior
+    as the unpadded model on those k rows."""
+    rng = np.random.default_rng(0)
+    k, pad, d = 9, 7, 2
+    X = jnp.asarray(rng.uniform(size=(k, d)), jnp.float32)
+    Y = jnp.asarray(np.sin(3 * np.asarray(X)).sum(-1), jnp.float32)
+
+    Xp = jnp.concatenate([X, jnp.full((pad, d), 0.123, jnp.float32)])
+    Yp = jnp.concatenate([Y, jnp.full((pad,), 99.0, jnp.float32)])
+    mask = jnp.arange(k + pad) < k
+
+    m_ref = make_gp(X, Y[:, None])
+    m_pad = make_gp(Xp, Yp[:, None], mask=mask)
+    # same hyperparameters
+    m_pad = m_pad.replace(params=m_ref.params)
+
+    np.testing.assert_allclose(
+        float(m_pad.mll()), float(m_ref.mll()), rtol=1e-4
+    )
+    Xq = jnp.asarray(rng.uniform(size=(5, d)), jnp.float32)
+    p_ref = m_ref.posterior(Xq)
+    p_pad = m_pad.posterior(Xq)
+    np.testing.assert_allclose(
+        np.asarray(p_pad.mean), np.asarray(p_ref.mean), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_pad.cov), np.asarray(p_ref.cov), atol=1e-4
+    )
+
+
+def test_append_observations():
+    state, X0 = init_state(4, 2, capacity=10, seed=0)
+    state = append_observations(state, X0, jnp.ones((4,)))
+    assert int(state.n) == 4
+    state = append_observations(
+        state, jnp.zeros((2, 2)), jnp.asarray([5.0, 6.0])
+    )
+    assert int(state.n) == 6
+    assert float(state.Y[5]) == 6.0
+    assert float(best_observed(state)) == 6.0
+
+
+def test_bo_step_shape_independent_of_n():
+    """bo_step must be traceable with n as a dynamic value (no recompiles
+    as the history grows)."""
+    state, X0 = init_state(4, 2, capacity=12, seed=0)
+    state = append_observations(state, X0, jnp.sin(X0.sum(-1)))
+    sobol = sobol_table(2, scramble=True, seed=1)
+    cfg = dict(num_restarts=2, raw_samples=8, fit_restarts=2,
+               fit_maxiter=5, acq_maxiter=5)
+    c1, _ = bo_step(state, jax.random.PRNGKey(0), sobol, **cfg)
+    state2 = append_observations(state, c1, jnp.zeros(1))
+    c2, _ = bo_step(state2, jax.random.PRNGKey(1), sobol, **cfg)
+    assert c1.shape == c2.shape == (1, 2)
+    assert np.isfinite(np.asarray(c2)).all()
+
+
+def test_run_bo_loop_improves_branin():
+    prob = Branin(negate=True)
+    obj = lambda X: prob(unnormalize(X, prob.bounds))
+    state = run_bo_loop(
+        obj, d=2, n_init=8, iterations=6, key=jax.random.PRNGKey(0),
+        num_restarts=4, raw_samples=32, fit_restarts=2,
+        fit_maxiter=30, acq_maxiter=30,
+    )
+    assert int(state.n) == 8 + 6
+    best = float(best_observed(state))
+    # after 6 iterations should be well inside the basin (regret < 5)
+    assert -best - 0.397887 < 5.0

@@ -1,0 +1,74 @@
+"""Tests for acquisition optimization (reference: `test/optim/test_optimize.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from botorch_tpu.optim.optimize import (
+    initialize_q_batch,
+    optimize_acqf,
+    optimize_acqf_discrete,
+)
+
+
+def quad_acqf(X):
+    """Peak 1.0 at (0.3, 0.7) for each candidate; sum over q."""
+    target = jnp.asarray([0.3, 0.7])
+    return jnp.sum(1.0 - jnp.sum((X - target) ** 2, axis=-1))
+
+
+def test_optimize_acqf_finds_peak():
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    cand, val = optimize_acqf(
+        quad_acqf, bounds, q=1, num_restarts=4, raw_samples=32,
+        key=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(cand[0]), [0.3, 0.7], atol=1e-4)
+    assert abs(float(val) - 1.0) < 1e-6
+
+
+def test_optimize_acqf_respects_bounds():
+    bounds = jnp.asarray([[0.5, 0.0], [1.0, 0.6]])
+    cand, _ = optimize_acqf(
+        quad_acqf, bounds, q=1, num_restarts=4, raw_samples=32,
+        key=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(cand[0]), [0.5, 0.6], atol=1e-4)
+
+
+def test_optimize_acqf_q2():
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    cand, val = optimize_acqf(
+        quad_acqf, bounds, q=2, num_restarts=4, raw_samples=32,
+        key=jax.random.PRNGKey(1),
+    )
+    assert cand.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(cand), [[0.3, 0.7]] * 2, atol=1e-3)
+
+
+def test_initialize_q_batch_includes_argmax():
+    key = jax.random.PRNGKey(0)
+    X = jnp.asarray(np.random.default_rng(0).uniform(size=(50, 1, 2)), jnp.float32)
+    vals = -jnp.sum((X[:, 0] - 0.5) ** 2, axis=-1)
+    sel = initialize_q_batch(key, X, vals, n=5)
+    best = X[jnp.argmax(vals)]
+    assert any(np.allclose(np.asarray(s), np.asarray(best)) for s in sel)
+
+
+def test_initialize_q_batch_handles_nan():
+    key = jax.random.PRNGKey(0)
+    X = jnp.asarray(np.random.default_rng(0).uniform(size=(20, 1, 2)), jnp.float32)
+    vals = jnp.full((20,), jnp.nan).at[3].set(1.0)
+    sel = initialize_q_batch(key, X, vals, n=2)
+    assert np.isfinite(np.asarray(sel)).all()
+
+
+def test_optimize_acqf_discrete():
+    choices = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(100, 2)), jnp.float32
+    )
+    cand, vals = optimize_acqf_discrete(quad_acqf, choices, q=3)
+    assert cand.shape == (3, 2)
+    all_vals = np.asarray(jax.vmap(lambda c: quad_acqf(c[None]))(choices))
+    np.testing.assert_allclose(np.asarray(vals), np.sort(all_vals)[-3:][::-1],
+                               rtol=1e-6)

@@ -1,0 +1,61 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh
+(the TPU analogue of `test/test_cuda.py` — SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.ops.lbfgs import multi_start_lbfgsb
+from botorch_tpu.parallel.sharding import leading_axis_sharder, make_mesh
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@needs_8
+def test_sharded_multistart_matches_unsharded():
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(-2, 2, (8, 2)), jnp.float32
+    )
+    ref = multi_start_lbfgsb(rosen, x0, maxiter=200)
+    mesh = make_mesh(8)
+    shard = leading_axis_sharder(mesh)
+    with mesh:
+        res = jax.jit(
+            lambda x: multi_start_lbfgsb(rosen, x, maxiter=200, shard_fn=shard)
+        )(x0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-4)
+
+
+@needs_8
+def test_sharded_fit_gp():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.asarray(np.sin(4 * np.asarray(X)).sum(-1), jnp.float32)
+    mesh = make_mesh(8)
+    shard = leading_axis_sharder(mesh)
+    with mesh:
+        fitted = fit_gp(
+            make_gp(X, Y[:, None]), jax.random.PRNGKey(0),
+            num_restarts=8, maxiter=30, shard_fn=shard,
+        )
+    assert float(fitted.mll()) >= float(make_gp(X, Y[:, None]).mll()) - 1e-3
+
+
+@needs_8
+def test_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py"
+    )
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    ge.dryrun_multichip(8)
