@@ -1,0 +1,176 @@
+r"""TuRBO: trust-region Bayesian optimization (config 5 of BASELINE.json).
+
+The reference repo supports TuRBO-style loops via `MaxPosteriorSampling`
+(`generation/sampling.py:60`, used by the TuRBO tutorial); the trust-region
+state machine here follows [Eriksson2019turbo] (TuRBO-1):
+
+  * maintain an axis-aligned trust region centered at the incumbent with
+    base edge length `length`, scaled per-dimension by the GP's ARD
+    lengthscales (normalized to unit product);
+  * candidates = scrambled-Sobol perturbations of the center inside the
+    region, with each dimension perturbed with probability
+    `min(1, 20/d)`;
+  * select by Thompson sampling with pathwise (Matheron) draws;
+  * `length` doubles after `success_streak` successes (capped at 1.6),
+    halves after `failure_streak` failures; restart when below 0.5^7.
+
+Everything is jit-compatible with static shapes; the loop driver uses the
+same padded-buffer design as `botorch_tpu/loop.py`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.gp import SingleTaskGP, make_gp
+from botorch_tpu.sampling.sobol import draw_sobol
+from botorch_tpu.generation.sampling import max_posterior_sampling
+
+Array = jax.Array
+
+
+class TurboState(struct.PyTreeNode):
+    length: Array  # () current trust-region base edge length
+    success_counter: Array  # () int32
+    failure_counter: Array  # () int32
+    best_value: Array  # ()
+    restart_triggered: Array  # () bool
+    length_min: float = struct.field(pytree_node=False, default=0.5**7)
+    length_max: float = struct.field(pytree_node=False, default=1.6)
+    success_streak: int = struct.field(pytree_node=False, default=3)
+    failure_streak: int = struct.field(pytree_node=False, default=5)
+
+
+def turbo_init(best_value: Array | float = -jnp.inf, **kwargs) -> TurboState:
+    return TurboState(
+        length=jnp.asarray(0.8),
+        success_counter=jnp.int32(0),
+        failure_counter=jnp.int32(0),
+        best_value=jnp.asarray(best_value, jnp.float32),
+        restart_triggered=jnp.bool_(False),
+        **kwargs,
+    )
+
+
+def turbo_update(state: TurboState, Y_next: Array) -> TurboState:
+    """Update counters and length after observing a candidate batch
+    ([Eriksson2019turbo] Sec. 2)."""
+    improved = jnp.max(Y_next) > state.best_value + 1e-3 * jnp.abs(state.best_value)
+    succ = jnp.where(improved, state.success_counter + 1, 0)
+    fail = jnp.where(improved, 0, state.failure_counter + 1)
+    grow = succ >= state.success_streak
+    shrink = fail >= state.failure_streak
+    length = jnp.where(
+        grow,
+        jnp.minimum(2.0 * state.length, state.length_max),
+        jnp.where(shrink, 0.5 * state.length, state.length),
+    )
+    return state.replace(
+        length=length,
+        success_counter=jnp.where(grow, 0, succ),
+        failure_counter=jnp.where(shrink, 0, fail),
+        best_value=jnp.maximum(state.best_value, jnp.max(Y_next)),
+        restart_triggered=length < state.length_min,
+    )
+
+
+def generate_turbo_candidates(
+    model: SingleTaskGP,
+    state: TurboState,
+    X_center: Array,
+    key: Array,
+    n_candidates: int = 2048,
+    q: int = 1,
+    sobol: Optional[tuple[Array, Array]] = None,
+    sobol_skip: Array | int = 0,
+    num_features: int = 512,
+) -> Array:
+    """One TuRBO candidate-generation step in the unit cube.
+
+    Returns `(q, d)` candidates chosen by pathwise Thompson sampling over
+    the perturbation set.
+    """
+    d = X_center.shape[-1]
+    k_pert, k_mask, k_ts = jax.random.split(key, 3)
+
+    # per-dimension trust region scaled by ARD lengthscales
+    ls = model.params.lengthscale[..., 0, :]
+    if ls.ndim > 1:  # ensemble: use the median model
+        ls = jnp.median(ls, axis=tuple(range(ls.ndim - 1)))
+    weights = ls / jnp.exp(jnp.mean(jnp.log(ls)))  # unit geometric mean
+    lb = jnp.clip(X_center - 0.5 * state.length * weights, 0.0, 1.0)
+    ub = jnp.clip(X_center + 0.5 * state.length * weights, 0.0, 1.0)
+
+    if sobol is None:
+        u = jax.random.uniform(k_pert, (n_candidates, d))
+    else:
+        sv, shift = sobol
+        u = draw_sobol(sv, shift, n_candidates, skip=sobol_skip)
+    pert = lb + (ub - lb) * u
+
+    # perturb each dim with prob min(1, 20/d); ensure >= 1 dim perturbed
+    prob = min(1.0, 20.0 / d)
+    mask = jax.random.uniform(k_mask, (n_candidates, d)) <= prob
+    forced = jax.nn.one_hot(
+        jax.random.randint(k_mask, (n_candidates,), 0, d), d, dtype=bool
+    )
+    mask = mask | forced
+    X_cand = jnp.where(mask, pert, X_center)
+
+    return max_posterior_sampling(
+        model, X_cand, k_ts, num_samples=q, method="pathwise",
+        num_features=num_features,
+    )
+
+
+def run_turbo(
+    objective,
+    d: int,
+    n_init: int,
+    iterations: int,
+    key: Array,
+    q: int = 1,
+    n_candidates: int = 2048,
+    capacity: Optional[int] = None,
+    fit_restarts: int = 2,
+    fit_maxiter: int = 50,
+    seed: int = 0,
+):
+    """TuRBO-1 loop for a jittable `objective: (k, d) -> (k,)` (MAXIMIZED,
+    unit-cube inputs). Host-driven loop with jitted inner steps; restarts
+    reset the trust region with a fresh Sobol design.
+
+    Returns `(X, Y)` histories.
+    """
+    from botorch_tpu.sampling.sobol import sobol_table
+
+    capacity = capacity or (n_init + iterations * q)
+    sv, shift = sobol_table(d, scramble=True, seed=seed)
+    key, k0 = jax.random.split(key)
+    X = draw_sobol(sv, shift, n_init)
+    Y = objective(X)
+    state = turbo_init(best_value=jnp.max(Y))
+
+    for it in range(iterations):
+        key, k_fit, k_gen = jax.random.split(key, 3)
+        model = fit_gp(
+            make_gp(X, Y[:, None]), k_fit,
+            num_restarts=fit_restarts, maxiter=fit_maxiter,
+        )
+        center = X[jnp.argmax(Y)]
+        cand = generate_turbo_candidates(
+            model, state, center, k_gen, n_candidates=n_candidates, q=q,
+        )
+        y_new = objective(cand)
+        X = jnp.concatenate([X, cand])
+        Y = jnp.concatenate([Y, y_new])
+        state = turbo_update(state, y_new)
+        if bool(state.restart_triggered):
+            state = turbo_init(best_value=jnp.max(Y))
+    return X, Y

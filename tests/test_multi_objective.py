@@ -1,0 +1,186 @@
+"""Multi-objective stack tests: Pareto, hypervolume (vs Monte Carlo and
+closed forms), box decompositions (coverage/disjointness), qEHVI exactness
+vs brute force (reference test models: `test/utils/multi_objective/`,
+`test/acquisition/multi_objective/`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botorch_tpu.acquisition.multi_objective import (
+    _hvi_from_cells,
+    _subset_masks,
+    make_qehvi,
+    make_qnehvi,
+    qExpectedHypervolumeImprovement,
+    qLogNoisyExpectedHypervolumeImprovement,
+)
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.test_functions.multi_objective import (
+    MO_PROBLEMS,
+    BraninCurrin,
+    DTLZ2,
+    ZDT1,
+)
+from botorch_tpu.utils.multi_objective import (
+    dominated_hypervolume_np,
+    hypervolume,
+    hypervolume_2d,
+    infer_reference_point,
+    is_non_dominated,
+    nondominated_hypercell_bounds_2d,
+    nondominated_hypercell_bounds_np,
+)
+
+
+def test_is_non_dominated():
+    Y = jnp.asarray([[1.0, 3.0], [2.0, 2.0], [3.0, 1.0], [1.0, 1.0], [2.0, 2.0]])
+    mask = np.asarray(is_non_dominated(Y))
+    np.testing.assert_array_equal(mask, [True, True, True, False, False])
+
+
+def test_hypervolume_2d_closed_form():
+    Y = jnp.asarray([[1.0, 3.0], [2.0, 2.0], [3.0, 1.0]])
+    assert abs(float(hypervolume_2d(Y, jnp.zeros(2))) - 6.0) < 1e-6
+
+
+@pytest.mark.parametrize("m,n", [(2, 10), (3, 8), (4, 6)])
+def test_hypervolume_vs_monte_carlo(m, n):
+    rng = np.random.default_rng(m * 10 + n)
+    P = rng.uniform(0.1, 1, (n, m))
+    hv = hypervolume(P, np.zeros(m))
+    pts = rng.uniform(0, 1, (200000, m))
+    dom = ((pts[:, None, :] <= P[None]).all(-1)).any(1)
+    assert abs(hv - dom.mean()) < 4.0 / np.sqrt(200000)
+
+
+@pytest.mark.parametrize("m", [3, 4])
+def test_decomposition_partitions_nondominated_space(m):
+    rng = np.random.default_rng(m)
+    P = rng.uniform(0.1, 1, (6, m))
+    P = P[np.asarray(is_non_dominated(jnp.asarray(P)))]
+    lo, up = nondominated_hypercell_bounds_np(P, np.zeros(m), clip_max=np.inf)
+    pts = rng.uniform(0, 1, (20000, m))
+    dominated = ((pts[:, None, :] <= P[None]).all(-1)).any(1)
+    inside = ((pts[:, None, :] >= lo[None]) & (pts[:, None, :] < up[None])).all(-1)
+    count = inside.sum(1)
+    assert count[dominated].max(initial=0) == 0
+    assert (count[~dominated] == 1).all()
+
+
+@pytest.mark.parametrize("m,q", [(2, 1), (2, 2), (3, 2)])
+def test_hvi_inclusion_exclusion_exact(m, q):
+    rng = np.random.default_rng(q * 7 + m)
+    P = rng.uniform(0.2, 0.9, (6, m))
+    P = P[np.asarray(is_non_dominated(jnp.asarray(P)))]
+    ref = np.zeros(m)
+    hv0 = hypervolume(P, ref)
+    if m == 2:
+        lo, up = nondominated_hypercell_bounds_2d(
+            jnp.asarray(P), jnp.zeros(2), clip_max=1e8
+        )
+    else:
+        l, u = nondominated_hypercell_bounds_np(P, ref, clip_max=1e8)
+        lo, up = jnp.asarray(l, jnp.float32), jnp.asarray(u, jnp.float32)
+    masks, signs = _subset_masks(q)
+    for _ in range(5):
+        F = rng.uniform(0.0, 1.1, (q, m))
+        hvi = float(
+            _hvi_from_cells(jnp.asarray(F, jnp.float32), lo, up, masks, signs)
+        )
+        brute = hypervolume(np.concatenate([P, F], 0), ref) - hv0
+        assert abs(hvi - brute) < 1e-5
+
+
+def test_qehvi_matches_brute_force_mc():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(20, 2)), jnp.float32)
+    # easy 2-objective surface in [0,1]^2
+    Y = jnp.stack([jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])], axis=-1)
+    ref = jnp.asarray([-1.5, -1.5])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=30)
+    acqf = make_qehvi(
+        qExpectedHypervolumeImprovement, model, ref, q=1, Y_baseline=Y,
+        num_samples=2048,
+    )
+    Xq = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    v = float(acqf(Xq))
+    front = np.asarray(Y)[np.asarray(is_non_dominated(Y))]
+    front = front[(front > np.asarray(ref)).all(-1)]
+    hv0 = hypervolume(front, np.asarray(ref))
+    post = model.posterior(Xq)
+    s = np.asarray(post.rsample(jax.random.PRNGKey(7), (500,)))
+    brute = np.mean(
+        [hypervolume(np.concatenate([front, s[i]], 0), np.asarray(ref)) - hv0
+         for i in range(500)]
+    )
+    assert abs(v - brute) < 0.05 * max(abs(brute), 0.1)
+
+
+def test_qnehvi_2d_runs_with_gradient():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(10, 2)), jnp.float32)
+    Y = jnp.stack([jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])], axis=-1)
+    ref = jnp.asarray([-1.5, -1.5])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    acqf = make_qnehvi(
+        qLogNoisyExpectedHypervolumeImprovement, model, ref, q=1,
+        X_baseline=X, num_samples=64,
+    )
+    Xq = jnp.asarray([[0.4, 0.6]], jnp.float32)
+    v = float(acqf(Xq))
+    g = np.asarray(jax.grad(lambda x: acqf(x))(Xq))
+    assert np.isfinite(v)
+    assert np.isfinite(g).all()
+
+
+def test_qnehvi_3d_cached_cells():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(8, 2)), jnp.float32)
+    Y = jnp.stack(
+        [jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1]), X[:, 0] * X[:, 1]],
+        axis=-1,
+    )
+    ref = jnp.asarray([-1.5, -1.5, -0.5])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    acqf = make_qnehvi(
+        qLogNoisyExpectedHypervolumeImprovement, model, ref, q=1,
+        X_baseline=X, num_samples=32,
+    )
+    assert acqf.cell_lower is not None
+    assert acqf.cell_lower.shape[0] == 32  # per-sample cells
+    v = float(acqf(jnp.asarray([[0.4, 0.6]], jnp.float32)))
+    assert np.isfinite(v)
+
+
+def test_mo_problem_shapes_and_ref():
+    for name, cls in MO_PROBLEMS.items():
+        kwargs = {}
+        prob = cls(**kwargs)
+        X = jnp.asarray(
+            np.random.default_rng(0).uniform(size=(4, prob.dim)), jnp.float32
+        )
+        X = prob.bounds[0] + (prob.bounds[1] - prob.bounds[0]) * X
+        Y = prob(X)
+        assert Y.shape == (4, prob.num_objectives), name
+        assert np.isfinite(np.asarray(Y)).all(), name
+        assert prob.ref_point.shape == (prob.num_objectives,)
+
+
+def test_zdt1_known_front():
+    # ZDT1 optimal front: x1 free, rest 0 -> f1 = 1 - sqrt(f0)
+    prob = ZDT1(dim=5)
+    x = jnp.zeros((3, 5)).at[:, 0].set(jnp.asarray([0.0, 0.25, 1.0]))
+    Y = np.asarray(prob(x))
+    np.testing.assert_allclose(Y[:, 1], 1 - np.sqrt(Y[:, 0]), atol=1e-5)
+
+
+def test_infer_reference_point():
+    Y = jnp.asarray([[1.0, 3.0], [2.0, 2.0], [3.0, 1.0]])
+    ref = np.asarray(infer_reference_point(Y))
+    assert (ref < 1.0).all()  # below the nadir
