@@ -77,18 +77,94 @@ def matern12(x: Array, z: Array, lengthscale: Array) -> Array:
     return jnp.exp(-r)
 
 
+def categorical(x: Array, z: Array, lengthscale: Array) -> Array:
+    """Hamming-distance categorical kernel
+    `exp(-mean_d 1[x_d != z_d] / ls_d)` (reference
+    `models/kernels/categorical.py:12`)."""
+    neq = (
+        jnp.abs(x[..., :, None, :] - z[..., None, :, :]) > 1e-6
+    ).astype(x.dtype)
+    return jnp.exp(-jnp.mean(neq / lengthscale[..., None, None, :], axis=-1))
+
+
+def _masked_dims(d: int, dims: tuple):
+    import numpy as _np
+
+    mask = _np.zeros((d,), bool)
+    mask[list(dims)] = True
+    return jnp.asarray(mask)
+
+
+def make_mixed(cat_dims: tuple):
+    """Mixed continuous/categorical kernel (reference
+    `models/gp_regression_mixed.py:28` `MixedSingleTaskGP`): sum + product
+    of a Matern-5/2 over continuous dims and a Hamming kernel over
+    categorical dims (equal fixed weights; the reference learns two
+    outputscales — noted deviation)."""
+
+    def k(x, z, lengthscale):
+        d = x.shape[-1]
+        cm = _masked_dims(d, cat_dims)
+        # continuous part: give categorical dims huge lengthscale (no-op)
+        ls_cont = jnp.where(cm, 1e6, lengthscale)
+        k_cont = matern52(x, z, ls_cont)
+        # categorical part over cat dims only
+        ls_cat = jnp.where(cm, lengthscale, 1e6)
+        neq = (jnp.abs(x[..., :, None, :] - z[..., None, :, :]) > 1e-6).astype(
+            x.dtype
+        )
+        neq = jnp.where(cm, neq, 0.0)
+        k_cat = jnp.exp(
+            -jnp.sum(neq / ls_cat[..., None, None, :], axis=-1) / max(len(cat_dims), 1)
+        )
+        return 0.5 * (k_cont + k_cat) + 0.5 * k_cont * k_cat
+
+    return k
+
+
+def make_fidelity(fidelity_dims: tuple):
+    """Multi-fidelity product kernel (reference
+    `models/gp_regression_fidelity.py:51` `SingleTaskMultiFidelityGP` with
+    downsampling-style fidelity factors, `models/kernels/downsampling.py:18`):
+    `K = Matern52(x_nonfid) * prod_f [c_f + ((1-s)(1-s'))^(1+p_f)]` with
+    the per-fidelity exponent tied to that dim's lengthscale."""
+
+    def k(x, z, lengthscale):
+        d = x.shape[-1]
+        fm = _masked_dims(d, fidelity_dims)
+        ls_x = jnp.where(fm, 1e6, lengthscale)
+        kx = matern52(x, z, ls_x)
+        kf = jnp.ones_like(kx)
+        for f in fidelity_dims:
+            power = 1.0 + 1.0 / lengthscale[..., f]
+            a = jnp.clip(1.0 - x[..., :, f], 0.0, 1.0)
+            b = jnp.clip(1.0 - z[..., :, f], 0.0, 1.0)
+            prod = a[..., :, None] * b[..., None, :]
+            kf = kf * (0.5 + jnp.power(prod, power[..., None, None]))
+        return kx * kf
+
+    return k
+
+
 KERNELS = {
     "rbf": rbf,
     "matern52": matern52,
     "matern32": matern32,
     "matern12": matern12,
+    "categorical": categorical,
 }
 
 
 def kernel_fn(name: str):
-    """Look up a kernel constructor by name (registry replaces gpytorch's
-    class hierarchy)."""
-    try:
+    """Look up a kernel by name. Composite kernels are encoded as
+    `"mixed:<i>,<j>"` (categorical dims) or `"fidelity:<i>"` (fidelity
+    dims) so they remain hashable static model fields."""
+    if name in KERNELS:
         return KERNELS[name]
-    except KeyError:
-        raise ValueError(f"Unknown kernel {name!r}; have {sorted(KERNELS)}") from None
+    if name.startswith("mixed:"):
+        dims = tuple(int(s) for s in name.split(":", 1)[1].split(",") if s)
+        return make_mixed(dims)
+    if name.startswith("fidelity:"):
+        dims = tuple(int(s) for s in name.split(":", 1)[1].split(",") if s)
+        return make_fidelity(dims)
+    raise ValueError(f"Unknown kernel {name!r}; have {sorted(KERNELS)}")

@@ -1,0 +1,157 @@
+r"""Multi-model multi-acquisition portfolio BO (the MMMA research layer).
+
+Counterpart of the fork's `MMMA/` scripts: `baseline.py` (plain loop),
+`multi_model_single_acqu.py` (kernel selection by likelihood-weighted
+Bayesian model averaging), `GP_Hedge.py` (Exp3-style acquisition bandit),
+and `MMMA.py` (both combined: per-iteration kernel BMA x acquisition
+hedge; weights `calculate_weights :56-72`, bandit update `:172-179` with
+`eta = 0.1` softmax over accumulated gains, reward = posterior mean at the
+chosen candidate `:197-199`).
+
+TPU-native framing: the K kernels and A acquisition functions are all fit
+and optimized per iteration anyway — here they run as parallel batches
+(kernel fits share X/Y; per-acqf `optimize_acqf` restarts batch together),
+rather than the fork's sequential Python loops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from botorch_tpu.acquisition.analytic import make_acqf
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.gp import SingleTaskGP, make_gp
+from botorch_tpu.optim.optimize import optimize_acqf
+
+Array = jax.Array
+
+DEFAULT_KERNELS = ("rbf", "matern52", "matern32")
+DEFAULT_ACQFS = ("LogEI", "LogPI", "UCB")
+
+
+def bma_weights(mlls: Array, temperature: float = 1.0) -> Array:
+    """Softmax-of-MLL Bayesian-model-averaging weights
+    (`MMMA/MMMA.py:56-72`)."""
+    z = (mlls - jnp.max(mlls)) / temperature
+    w = jnp.exp(z)
+    return w / jnp.sum(w)
+
+
+class HedgeState(NamedTuple):
+    gains: Array  # (A,) accumulated gains per acquisition
+
+
+def hedge_probabilities(state: HedgeState, eta: float = 0.1) -> Array:
+    """GP-Hedge selection probabilities (`MMMA/GP_Hedge.py` /
+    `MMMA.py:172-179`)."""
+    z = eta * (state.gains - jnp.max(state.gains))
+    p = jnp.exp(z)
+    return p / jnp.sum(p)
+
+
+def hedge_update(
+    state: HedgeState, rewards: Array
+) -> HedgeState:
+    """Accumulate per-acqf rewards (posterior mean at each acqf's
+    candidate, `MMMA.py:197-199`)."""
+    return HedgeState(gains=state.gains + rewards)
+
+
+class MMMAResult(NamedTuple):
+    X: Array
+    Y: Array
+    best_curve: Array
+    chosen_acqf: Array  # (iters,) int indices
+    kernel_weights: Array  # (iters, K)
+
+
+def run_mmma(
+    objective: Callable[[Array], Array],
+    d: int,
+    n_init: int,
+    iterations: int,
+    key: Array,
+    kernels: Sequence[str] = DEFAULT_KERNELS,
+    acqf_names: Sequence[str] = DEFAULT_ACQFS,
+    eta: float = 0.1,
+    num_restarts: int = 2,
+    raw_samples: int = 20,
+    fit_restarts: int = 2,
+    fit_maxiter: int = 50,
+    seed: int = 0,
+) -> MMMAResult:
+    """The combined MMMA loop (`MMMA/MMMA.py:80-200`): per iteration,
+    (1) fit one GP per kernel, compute BMA weights from MLLs and pick the
+    highest-evidence kernel; (2) optimize every acquisition in the
+    portfolio; (3) select one candidate by the hedge bandit; (4) update
+    gains with each candidate's posterior mean.
+
+    `objective: (q, d) -> (q,)`, maximization on the unit cube.
+    """
+    from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
+
+    sv, shift = sobol_table(d, scramble=True, seed=seed)
+    X = draw_sobol(sv, shift, n_init)
+    Y = objective(X)
+    hedge = HedgeState(gains=jnp.zeros(len(acqf_names)))
+    ub = jnp.stack([jnp.zeros(d), jnp.ones(d)])
+
+    best_curve, chosen, kw_hist = [], [], []
+    for it in range(iterations):
+        key, k_fit, k_acq, k_pick = jax.random.split(key, 4)
+        # (1) kernel BMA
+        models, mlls = [], []
+        for ki, kern in enumerate(kernels):
+            mdl = fit_gp(
+                make_gp(X, Y[:, None], kernel=kern),
+                jax.random.fold_in(k_fit, ki),
+                num_restarts=fit_restarts,
+                maxiter=fit_maxiter,
+            )
+            models.append(mdl)
+            mlls.append(mdl.mll())
+        w = bma_weights(jnp.stack(mlls))
+        kw_hist.append(w)
+        model = models[int(jnp.argmax(w))]
+
+        # (2) per-acqf candidates
+        cands = []
+        for ai, name in enumerate(acqf_names):
+            kwargs = {"best_f": Y.max()} if name in ("EI", "LogEI", "PI", "LogPI") else {}
+            acqf = make_acqf(name, model, **kwargs)
+            cand, _ = optimize_acqf(
+                acqf, ub, q=1,
+                num_restarts=num_restarts, raw_samples=raw_samples,
+                key=jax.random.fold_in(k_acq, ai), seed=seed * 1000 + it,
+            )
+            cands.append(cand)
+        cands = jnp.stack(cands)  # (A, 1, d)
+
+        # (3) hedge selection
+        p = hedge_probabilities(hedge, eta)
+        a_idx = int(jax.random.choice(k_pick, len(acqf_names), p=p))
+        chosen.append(a_idx)
+        x_new = cands[a_idx]
+        y_new = objective(x_new)
+        X = jnp.concatenate([X, x_new])
+        Y = jnp.concatenate([Y, y_new])
+
+        # (4) rewards = posterior mean at every acqf's candidate
+        post = model.posterior(cands[:, 0, :])
+        rewards = post.mean[..., 0]
+        if rewards.ndim > 1:
+            rewards = rewards.mean(axis=tuple(range(rewards.ndim - 1)))
+        hedge = hedge_update(hedge, rewards)
+        best_curve.append(Y.max())
+
+    return MMMAResult(
+        X=X,
+        Y=Y,
+        best_curve=jnp.stack(best_curve),
+        chosen_acqf=jnp.asarray(chosen),
+        kernel_weights=jnp.stack(kw_hist),
+    )

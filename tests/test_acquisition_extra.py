@@ -1,0 +1,144 @@
+"""Tests: KG, fantasize, MES/GIBBON, Thompson sampling, TuRBO state,
+portfolio weights (reference test style)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from botorch_tpu.acquisition.knowledge_gradient import fantasize, make_qkg
+from botorch_tpu.acquisition.max_value_entropy_search import (
+    make_mes,
+    qLowerBoundMaxValueEntropy,
+    qMaxValueEntropy,
+    sample_max_values_gumbel,
+)
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.generation.sampling import (
+    boltzmann_sampling,
+    max_posterior_sampling,
+)
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.optim.turbo import turbo_init, turbo_update
+from botorch_tpu.portfolio import bma_weights, hedge_probabilities, HedgeState
+
+
+def _model(seed=0, n=15):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+    Y = jnp.asarray(
+        np.sin(5 * np.asarray(X[:, 0])) + np.asarray(X[:, 1]), jnp.float32
+    )
+    return (
+        fit_gp(make_gp(X, Y[:, None]), jax.random.PRNGKey(seed),
+               num_restarts=2, maxiter=30),
+        X,
+        Y,
+    )
+
+
+def test_fantasize_batches_and_shrinks_variance():
+    model, X, Y = _model()
+    Xf = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    fm = fantasize(model, Xf, jax.random.PRNGKey(1), num_fantasies=6)
+    assert fm.batch_shape == (6,)
+    v_before = float(model.posterior(Xf).variance[0, 0])
+    v_after = np.asarray(fm.posterior(Xf).variance)[:, 0, 0]
+    assert (v_after < v_before).all()
+
+
+def test_qkg_runs_with_gradient():
+    model, X, Y = _model()
+    kg = make_qkg(model, q=1, num_fantasies=8, current_value=float(Y.max()))
+    X_full = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(9, 2)), jnp.float32
+    )
+    v = float(kg(X_full))
+    g = np.asarray(jax.grad(lambda x: kg(x))(X_full))
+    assert np.isfinite(v)
+    assert np.isfinite(g).all()
+    assert kg.get_augmented_q_batch_size() == 9
+    assert kg.extract_candidates(X_full).shape == (1, 2)
+
+
+def test_gumbel_max_values_exceed_best_mean():
+    model, X, Y = _model()
+    grid = jnp.asarray(
+        np.random.default_rng(5).uniform(size=(256, 2)), jnp.float32
+    )
+    mv = np.asarray(
+        sample_max_values_gumbel(model, grid, jax.random.PRNGKey(2), 32)
+    )
+    best_mean = float(model.posterior(grid).mean.max())
+    assert np.median(mv) > best_mean - 0.2
+
+
+def test_mes_prefers_informative_points():
+    model, X, Y = _model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    mes = make_mes(qMaxValueEntropy, model, bounds, jax.random.PRNGKey(3))
+    # near an observed point, MES ~ 0; in an uncertain promising region > 0
+    near_data = float(mes(X[:1]))
+    post = model.posterior(jnp.asarray([[0.31, 0.99]], jnp.float32))
+    far = float(mes(jnp.asarray([[0.31, 0.99]], jnp.float32)))
+    assert far >= near_data
+
+
+def test_gibbon_q2_adds_diversity_penalty():
+    model, X, Y = _model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    gib = make_mes(
+        qLowerBoundMaxValueEntropy, model, bounds, jax.random.PRNGKey(3)
+    )
+    x = jnp.asarray([[0.3, 0.9]], jnp.float32)
+    dup = jnp.concatenate([x, x + 1e-4])
+    spread = jnp.asarray([[0.3, 0.9], [0.7, 0.1]], jnp.float32)
+    # duplicated candidates should score lower than spread ones
+    assert float(gib(dup)) < float(gib(spread)) + 1e-3
+
+
+def test_max_posterior_sampling_picks_good_points():
+    model, X, Y = _model()
+    cand = jnp.asarray(
+        np.random.default_rng(7).uniform(size=(512, 2)), jnp.float32
+    )
+    sel = max_posterior_sampling(
+        model, cand, jax.random.PRNGKey(4), num_samples=8, method="pathwise",
+        num_features=256,
+    )
+    assert sel.shape == (8, 2)
+    # selected points should have above-median posterior mean
+    mu_sel = np.asarray(model.posterior(sel).mean[:, 0])
+    mu_all = np.asarray(model.posterior(cand).mean[:, 0])
+    assert mu_sel.mean() > np.median(mu_all)
+
+
+def test_boltzmann_sampling():
+    X = jnp.asarray(np.random.default_rng(0).uniform(size=(50, 2)), jnp.float32)
+    vals = -jnp.sum((X - 0.5) ** 2, axis=-1)
+    sel = boltzmann_sampling(vals, X, jax.random.PRNGKey(0), num_samples=5,
+                             eta=5.0, replacement=False)
+    assert sel.shape == (5, 2)
+
+
+def test_turbo_state_machine():
+    st = turbo_init(best_value=0.0)
+    for _ in range(3):  # success streak of 3 doubles the length
+        st = turbo_update(st, jnp.asarray([st.best_value + 1.0]))
+    assert float(st.length) == 1.6  # capped at length_max
+    for _ in range(5 * 3):  # failures halve repeatedly
+        st = turbo_update(st, jnp.asarray([-100.0]))
+    assert float(st.length) < 1.6
+    # eventually triggers a restart
+    for _ in range(5 * 10):
+        st = turbo_update(st, jnp.asarray([-100.0]))
+    assert bool(st.restart_triggered)
+
+
+def test_portfolio_weights():
+    w = np.asarray(bma_weights(jnp.asarray([0.0, 1.0, -1.0])))
+    assert abs(w.sum() - 1) < 1e-6 and w[1] == w.max()
+    p = np.asarray(
+        hedge_probabilities(HedgeState(gains=jnp.asarray([0.0, 5.0, 0.0])),
+                            eta=0.5)
+    )
+    assert p[1] == p.max() and abs(p.sum() - 1) < 1e-6

@@ -1,0 +1,182 @@
+"""Tests: SVGP, pathwise sampling, model lists/converters, CV, transforms,
+SAASBO (tiny budgets, reference test style: structural + statistical)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botorch_tpu.cross_validation import batch_cross_validation, cv_metrics
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.approximate_gp import fit_svgp, make_svgp
+from botorch_tpu.models.fully_bayesian import (
+    fit_saas_gp,
+    load_saas_samples,
+    make_saas_potential,
+    median_lengthscales,
+)
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.models.model_list import (
+    ModelList,
+    batched_to_model_list,
+    model_list_to_batched,
+)
+from botorch_tpu.models.transforms import (
+    Bilog,
+    ChainedInputTransform,
+    InputStandardize,
+    Log10,
+    Normalize,
+    OneHotToNumeric,
+    Round,
+    Warp,
+)
+from botorch_tpu.sampling.pathwise import draw_matheron_paths
+
+
+def _data(n=15, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    Y = jnp.asarray(np.sin(4 * np.asarray(X)).sum(-1), jnp.float32)
+    return X, Y
+
+
+def test_svgp_fits_and_predicts():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(300, 2)), jnp.float32)
+    f = jnp.sin(4 * X[:, 0]) + X[:, 1]
+    Y = f + 0.05 * jnp.asarray(rng.normal(size=300), jnp.float32)
+    svgp = fit_svgp(make_svgp(X, Y, num_inducing=32), jax.random.PRNGKey(0),
+                    steps=300, batch_size=128)
+    post = svgp.posterior(X[:50])
+    rmse = float(jnp.sqrt(jnp.mean((post.mean[:, 0] - f[:50]) ** 2)))
+    assert rmse < 0.2
+    assert post.mean.shape == (50, 1)
+    assert np.isfinite(np.asarray(post.variance)).all()
+
+
+def test_pathwise_moments_match_posterior():
+    X, Y = _data(n=20)
+    model = fit_gp(make_gp(X, Y[:, None]), jax.random.PRNGKey(0),
+                   num_restarts=2, maxiter=40)
+    paths = draw_matheron_paths(model, jax.random.PRNGKey(1),
+                                num_paths=1500, num_features=1024)
+    Xt = jnp.asarray(np.random.default_rng(1).uniform(size=(6, 2)), jnp.float32)
+    vals = np.asarray(paths(Xt))
+    post = model.posterior(Xt)
+    np.testing.assert_allclose(
+        vals.mean(0), np.asarray(post.mean[:, 0]), atol=0.05
+    )
+    np.testing.assert_allclose(
+        vals.var(0), np.asarray(post.variance[:, 0]), atol=0.05
+    )
+    # determinism of a drawn path
+    np.testing.assert_array_equal(np.asarray(paths(Xt)), vals)
+
+
+def test_model_list_and_converters():
+    X, _ = _data()
+    Y1, Y2 = jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])
+    m1 = fit_gp(make_gp(X, Y1[:, None]), jax.random.PRNGKey(0),
+                num_restarts=2, maxiter=20)
+    m2 = fit_gp(make_gp(X, Y2[:, None]), jax.random.PRNGKey(1),
+                num_restarts=2, maxiter=20)
+    ml = ModelList(models=(m1, m2))
+    assert ml.num_outputs == 2
+    post = ml.posterior(X[:3])
+    batched = model_list_to_batched(ml)
+    pb = batched.posterior(X[:3])
+    np.testing.assert_allclose(
+        np.asarray(pb.mean), np.asarray(post.mean), atol=1e-5
+    )
+    ml2 = batched_to_model_list(batched)
+    np.testing.assert_allclose(
+        np.asarray(ml2.posterior(X[:3]).mean), np.asarray(post.mean),
+        atol=1e-5,
+    )
+
+
+def test_cross_validation():
+    X, Y = _data(n=10)
+    cv = batch_cross_validation(X, Y[:, None], jax.random.PRNGKey(0),
+                                fit_maxiter=15)
+    metrics = cv_metrics(cv)
+    assert cv.mean.shape == (10, 1)
+    assert np.isfinite(float(metrics["rmse"]))
+    assert 0.0 <= float(metrics["coverage95"]) <= 1.0
+
+
+def test_input_transforms_roundtrip():
+    X = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (7, 3)),
+                    jnp.float32)
+    for t in [
+        Normalize(bounds=jnp.asarray([[0.0, 0.0, 0.0], [2.0, 1.0, 3.0]])),
+        InputStandardize.fit(X),
+        Warp.init(3),
+        Log10(indices=(0,)),
+    ]:
+        Xr = t.untransform(t.transform(X))
+        np.testing.assert_allclose(np.asarray(Xr), np.asarray(X), atol=1e-4)
+
+
+def test_chained_and_round():
+    X = jnp.asarray([[0.4, 2.6], [0.5, 1.2]])
+    chain = ChainedInputTransform(
+        transforms=(Round(integer_indices=(1,)),)
+    )
+    out = np.asarray(chain.transform(X))
+    np.testing.assert_allclose(out[:, 1], [3.0, 1.0])
+    # STE: gradient of rounded coordinate is identity
+    g = jax.grad(lambda x: jnp.sum(chain.transform(x)))(X)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_one_hot_to_numeric_roundtrip():
+    t = OneHotToNumeric(categorical_features=((1, 3),))
+    X = jnp.asarray([[0.5, 0.0, 1.0, 0.0], [0.2, 0.0, 0.0, 1.0]])
+    num = t.transform(X)
+    np.testing.assert_allclose(np.asarray(num), [[0.5, 1.0], [0.2, 2.0]])
+    back = t.untransform(num)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(X))
+
+
+def test_outcome_transforms():
+    Y = jnp.asarray([-2.0, 0.5, 3.0])
+    b = Bilog()
+    np.testing.assert_allclose(
+        np.asarray(b.untransform(b.transform(Y))), np.asarray(Y), atol=1e-5
+    )
+
+
+def test_saas_potential_finite_and_shrinkage():
+    rng = np.random.default_rng(0)
+    n, d = 14, 6
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    Y = jnp.asarray(np.sin(6 * np.asarray(X[:, 0])), jnp.float32)  # only dim 0
+    pot, z_dim, infer = make_saas_potential(
+        X, (Y - Y.mean()) / Y.std()
+    )
+    z = jnp.zeros((z_dim,))
+    v, g = jax.value_and_grad(pot)(z)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.slow
+def test_saas_fit_tiny_budget():
+    """Tiny-budget NUTS structural test (reference pattern:
+    `test_fully_bayesian.py:232-233` uses warmup 8 / samples 5)."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 4)), jnp.float32)
+    Y = jnp.asarray(np.sin(6 * np.asarray(X[:, 0])), jnp.float32)
+    model, stats = fit_saas_gp(
+        X, Y, jax.random.PRNGKey(0),
+        num_warmup=32, num_samples=16, thinning=4, num_chains=2,
+    )
+    S = model.params.mean.shape[0]
+    assert S == 4  # (num_samples / num_chains) / thinning * num_chains
+    assert model.kernel == "matern52" and model.use_outputscale
+    ml = median_lengthscales(model)
+    assert ml.shape == (4,)
+    post = model.posterior(X[:3])
+    assert post.mean.shape == (S, 3, 1)
