@@ -1,0 +1,133 @@
+r"""MC objectives, posterior transforms, and risk measures.
+
+Counterpart of `botorch/acquisition/objective.py` (`PosteriorTransform
+:34`, `ScalarizedPosteriorTransform :66`, `LinearMCObjective :301`,
+`GenericMCObjective :344`, `ConstrainedMCObjective :385`) and
+`botorch/acquisition/risk_measures.py:112-253` (`CVaR`, `VaR`,
+`WorstCase`, `Expectation`) plus the Chebyshev scalarization
+(`utils/multi_objective/scalarization.py:111`).
+
+Objectives are plain callables `samples (..., q', m) -> (..., q)` used as
+static fields of MC acquisition functions. Risk measures consume the
+expanded `q' = n_w * q` sample layout produced by `InputPerturbation`
+(robust BO; reference `acquisition/risk_measures.py:39-108`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from botorch_tpu.posteriors.gaussian import GaussianPosterior
+from botorch_tpu.utils.safe_math import logexpit
+
+Array = jax.Array
+
+
+def scalarized_posterior_transform(weights: Array):
+    """Affine scalarization of a multi-output posterior into a 1-output
+    Gaussian (`objective.py:66`)."""
+
+    def transform(post: GaussianPosterior) -> GaussianPosterior:
+        mean = jnp.sum(post.mean * weights, axis=-1, keepdims=True)
+        # cov: (..., m, q, q) -> w^T diag-blocks w (independent outputs)
+        cov = jnp.sum(
+            post.cov * jnp.square(weights)[..., :, None, None], axis=-3,
+            keepdims=True,
+        )
+        return GaussianPosterior(mean=mean, cov=cov)
+
+    return transform
+
+
+def generic_objective(fn: Callable[[Array], Array]):
+    """`GenericMCObjective` (`objective.py:344`): arbitrary sample-wise
+    callable."""
+    return fn
+
+
+def constrained_objective(
+    objective: Callable,
+    constraints: tuple,
+    infeasible_cost: float = 0.0,
+    eta: float = 1e-3,
+):
+    """Deprecated-path `ConstrainedMCObjective` (`objective.py:385`):
+    sigmoid-feasibility-weighted objective with an infeasible floor."""
+
+    def obj(samples: Array) -> Array:
+        val = objective(samples)
+        w = 1.0
+        for c in constraints:
+            w = w * jnp.exp(logexpit(-c(samples) / eta))
+        return w * (val + infeasible_cost) - infeasible_cost
+
+    return obj
+
+
+def chebyshev_scalarization(weights: Array, Y_bounds: Array):
+    """Random augmented-Chebyshev scalarization for qNParEGO
+    (`utils/multi_objective/scalarization.py:111`): normalizes Y to [0,1]
+    by the observed bounds, then `min_m w_m y_m + 0.05 sum_m w_m y_m`."""
+
+    def obj(samples: Array) -> Array:
+        Yn = (samples - Y_bounds[0]) / (Y_bounds[1] - Y_bounds[0] + 1e-12)
+        prod = weights * Yn
+        return jnp.min(prod, axis=-1) + 0.05 * jnp.sum(prod, axis=-1)
+
+    return obj
+
+
+# --------------------------------------------------------------------------- #
+# Risk measures over the perturbation axis (n_w per candidate)
+# --------------------------------------------------------------------------- #
+def _reshape_w(samples_obj: Array, n_w: int) -> Array:
+    """(..., q * n_w) -> (..., q, n_w)."""
+    return samples_obj.reshape(*samples_obj.shape[:-1], -1, n_w)
+
+
+def var_risk(n_w: int, alpha: float = 0.8, objective=None):
+    """Value-at-risk over the perturbation set (`risk_measures.py:180`)."""
+    k = int(jnp.ceil(n_w * alpha)) - 1
+
+    def obj(samples: Array) -> Array:
+        base = samples[..., 0] if objective is None else objective(samples)
+        vals = jnp.sort(_reshape_w(base, n_w), axis=-1)
+        return vals[..., n_w - 1 - k]
+
+    return obj
+
+
+def cvar_risk(n_w: int, alpha: float = 0.8, objective=None):
+    """Conditional value-at-risk (`risk_measures.py:112`): mean of the
+    worst `(1 - alpha)` tail (maximization convention: lower tail)."""
+    k = n_w - int(jnp.ceil(n_w * alpha))
+
+    def obj(samples: Array) -> Array:
+        base = samples[..., 0] if objective is None else objective(samples)
+        vals = jnp.sort(_reshape_w(base, n_w), axis=-1)
+        return jnp.mean(vals[..., : k + 1], axis=-1)
+
+    return obj
+
+
+def worst_case_risk(n_w: int, objective=None):
+    """`WorstCase` (`risk_measures.py:226`)."""
+
+    def obj(samples: Array) -> Array:
+        base = samples[..., 0] if objective is None else objective(samples)
+        return jnp.min(_reshape_w(base, n_w), axis=-1)
+
+    return obj
+
+
+def expectation_risk(n_w: int, objective=None):
+    """`Expectation` (`risk_measures.py:253`)."""
+
+    def obj(samples: Array) -> Array:
+        base = samples[..., 0] if objective is None else objective(samples)
+        return jnp.mean(_reshape_w(base, n_w), axis=-1)
+
+    return obj

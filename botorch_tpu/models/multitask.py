@@ -1,0 +1,203 @@
+r"""Multi-task exact GP with an ICM task kernel.
+
+Counterpart of `botorch/models/multitask.py:123` (`MultiTaskGP`): data
+rows carry a task id embedded as one column of X; the covariance is the
+product of a data kernel over the remaining features and a low-rank
+IndexKernel over task ids, `K_task = B B^T + diag(v)`
+(`multitask.py:257,309`).
+
+The Kronecker-structured variant (`KroneckerMultiTaskGP :394`) exploits a
+block design (all tasks observed at all points); on TPU the plain ICM
+product with a fused dense Cholesky is already MXU-friendly at BO scales,
+so the Kronecker algebra is left to a later optimization pass.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from botorch_tpu.models import priors as priors_mod
+from botorch_tpu.ops.chol import (
+    add_jitter,
+    chol_logdet,
+    cholesky_solve,
+    psd_safe_cholesky,
+    solve_triangular,
+)
+from botorch_tpu.ops.kernels import kernel_fn
+
+from botorch_tpu.posteriors.gaussian import GaussianPosterior
+
+Array = jax.Array
+
+_log_2pi = math.log(2.0 * math.pi)
+
+
+class MultiTaskGP(struct.PyTreeNode):
+    """ICM multi-task GP. `X` excludes the task column; `task_ids (n,)`."""
+
+    X: Array  # (n, d)
+    Y: Array  # (n,) standardized
+    task_ids: Array  # (n,) int32
+    raw_lengthscale: Array  # (d,)
+    raw_noise: Array  # ()
+    task_factor: Array  # (T, rank) B
+    raw_task_diag: Array  # (T,) log v
+    mean_const: Array  # ()
+    Y_loc: Array  # ()
+    Y_scale: Array  # ()
+    num_tasks: int = struct.field(pytree_node=False, default=2)
+    rank: int = struct.field(pytree_node=False, default=1)
+    kernel: str = struct.field(pytree_node=False, default="matern52")
+    output_task: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_outputs(self) -> int:
+        return 1  # posterior is for the output task
+
+    @property
+    def batch_shape(self):
+        return ()
+
+    @property
+    def lengthscale(self) -> Array:
+        return jnp.exp(self.raw_lengthscale)
+
+    @property
+    def noise(self) -> Array:
+        return jnp.exp(self.raw_noise)
+
+    @property
+    def task_covar(self) -> Array:
+        B = self.task_factor
+        return B @ B.T + jnp.diag(jnp.exp(self.raw_task_diag))
+
+    def _K(self, x1, t1, x2, t2) -> Array:
+        Kx = kernel_fn(self.kernel)(x1, x2, self.lengthscale)
+        Kt = self.task_covar[t1][:, t2]
+        return Kx * Kt
+
+    def _train_K(self) -> Array:
+        K = self._K(self.X, self.task_ids, self.X, self.task_ids)
+        return K + self.noise * jnp.eye(K.shape[0])
+
+    def mll(self) -> Array:
+        K = add_jitter(self._train_K())
+        L = jnp.linalg.cholesky(K)
+        resid = self.Y - self.mean_const
+        z = solve_triangular(L, resid[:, None])[:, 0]
+        n = self.Y.shape[0]
+        return -0.5 * (jnp.dot(z, z) + chol_logdet(L) + n * _log_2pi)
+
+    def log_prior(self) -> Array:
+        d = self.X.shape[-1]
+        lp = jnp.sum(
+            priors_mod.dim_scaled_lognormal_lengthscale_prior(d).log_prob(
+                self.lengthscale
+            )
+        )
+        lp = lp + priors_mod.lognormal_noise_prior().log_prob(self.noise)
+        # weak shrinkage on task covariances
+        lp = lp - 0.05 * jnp.sum(jnp.square(self.task_factor))
+        return lp
+
+    def posterior(
+        self,
+        Xq: Array,
+        observation_noise: bool = False,
+        cache=None,
+        task: Optional[int] = None,
+    ) -> GaussianPosterior:
+        """Posterior for `task` (default `output_task`) at `Xq (q, d)`."""
+        t = self.output_task if task is None else task
+        tq = jnp.full((Xq.shape[0],), t, jnp.int32)
+        K = add_jitter(self._train_K())
+        L = psd_safe_cholesky(K)
+        Ks = self._K(self.X, self.task_ids, Xq, tq)
+        Kss = self._K(Xq, tq, Xq, tq)
+        resid = self.Y - self.mean_const
+        alpha = cholesky_solve(L, resid[:, None])[:, 0]
+        mean = self.mean_const + Ks.T @ alpha
+        V = solve_triangular(L, Ks)
+        cov = Kss - V.T @ V
+        if observation_noise:
+            cov = cov + self.noise * jnp.eye(cov.shape[0])
+        post = GaussianPosterior(mean=mean[:, None], cov=cov[None])
+        return post.affine(self.Y_loc[None], self.Y_scale[None])
+
+    def train_chol(self):
+        return None
+
+
+def make_multitask_gp(
+    train_X: Array,
+    train_Y: Array,
+    task_feature: int,
+    num_tasks: Optional[int] = None,
+    rank: int = 1,
+    kernel: str = "matern52",
+    output_task: int = 0,
+) -> MultiTaskGP:
+    """Build from a design whose `task_feature` column holds task ids
+    (reference `MultiTaskGP.__init__`, `multitask.py:123-257`)."""
+    if train_Y.ndim > 1:
+        train_Y = train_Y[..., 0]
+    d_full = train_X.shape[-1]
+    feat = [i for i in range(d_full) if i != task_feature]
+    X = train_X[:, jnp.asarray(feat)]
+    task_ids = train_X[:, task_feature].astype(jnp.int32)
+    T = int(num_tasks) if num_tasks is not None else int(jnp.max(task_ids)) + 1
+    loc = jnp.mean(train_Y)
+    scale = jnp.std(train_Y) + 1e-8
+    d = len(feat)
+    ls0 = priors_mod.dim_scaled_lognormal_lengthscale_prior(d).mode
+    return MultiTaskGP(
+        X=X,
+        Y=(train_Y - loc) / scale,
+        task_ids=task_ids,
+        raw_lengthscale=jnp.full((d,), math.log(ls0)),
+        raw_noise=jnp.asarray(math.log(0.01)),
+        task_factor=0.5 * jnp.ones((T, rank)),
+        raw_task_diag=jnp.full((T,), math.log(0.1)),
+        mean_const=jnp.asarray(0.0),
+        Y_loc=loc,
+        Y_scale=scale,
+        num_tasks=T,
+        rank=rank,
+        kernel=kernel,
+        output_task=output_task,
+    )
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def fit_multitask_gp(model: MultiTaskGP, maxiter: int = 60) -> MultiTaskGP:
+    from jax.flatten_util import ravel_pytree
+
+    from botorch_tpu.ops.lbfgs import lbfgsb
+
+    hypers0 = (
+        model.raw_lengthscale, model.raw_noise, model.task_factor,
+        model.raw_task_diag, model.mean_const,
+    )
+    flat0, unravel = ravel_pytree(hypers0)
+
+    def obj(v):
+        ls, rn, tf, td, mc = unravel(v)
+        m = model.replace(
+            raw_lengthscale=ls, raw_noise=rn, task_factor=tf,
+            raw_task_diag=td, mean_const=mc,
+        )
+        return -(m.mll() + m.log_prior())
+
+    res = lbfgsb(obj, flat0, maxiter=maxiter)
+    ls, rn, tf, td, mc = unravel(res.x)
+    return model.replace(
+        raw_lengthscale=ls, raw_noise=rn, task_factor=tf,
+        raw_task_diag=td, mean_const=mc,
+    )

@@ -1,0 +1,181 @@
+"""Tests: optimize_acqf variants, stopping, homotopy, sampling utils,
+acquisition wrappers, risk measures."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from botorch_tpu.acquisition.objective import (
+    chebyshev_scalarization,
+    cvar_risk,
+    expectation_risk,
+    var_risk,
+    worst_case_risk,
+)
+from botorch_tpu.acquisition.wrappers import (
+    CostAwareAcquisitionFunction,
+    FixedFeatureAcquisitionFunction,
+    PenalizedAcquisitionFunction,
+    ProximalAcquisitionFunction,
+    l1_penalty,
+    l2_penalty,
+)
+from botorch_tpu.optim.optimize import optimize_acqf
+from botorch_tpu.optim.variants import (
+    ExpMAStoppingCriterion,
+    log_linear_schedule,
+    optimize_acqf_discrete_local_search,
+    optimize_acqf_homotopy,
+    optimize_acqf_mixed,
+)
+from botorch_tpu.utils.sampling import (
+    batched_multinomial,
+    find_interior_point,
+    get_polytope_samples,
+    sample_hypersphere,
+    sample_polytope,
+    sample_simplex,
+)
+
+TARGET = jnp.asarray([0.3, 0.7, 0.5])
+
+
+def quad(X):
+    return jnp.sum(1.0 - jnp.sum((X - TARGET) ** 2, -1))
+
+
+def test_sample_hypersphere_and_simplex():
+    key = jax.random.PRNGKey(0)
+    s = sample_hypersphere(key, 5, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(s), axis=-1), 1.0, atol=1e-5
+    )
+    x = sample_simplex(key, 4, 64)
+    np.testing.assert_allclose(np.asarray(x).sum(-1), 1.0, atol=1e-5)
+    assert (np.asarray(x) >= 0).all()
+
+
+def test_polytope_sampling_respects_constraints():
+    key = jax.random.PRNGKey(1)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    P = np.asarray(
+        get_polytope_samples(
+            key, 64, bounds,
+            inequality_constraints=[((0, 1), (1.0, 1.0), 0.5)],
+        )
+    )
+    assert (P.sum(-1) >= 0.5 - 1e-4).all()
+    assert (P >= -1e-5).all() and (P <= 1 + 1e-5).all()
+    # samples should spread out (not stuck at the interior point)
+    assert P.std(0).min() > 0.05
+
+
+def test_find_interior_point():
+    # unit square with x0 + x1 <= 1
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    b = np.array([1.0, 0.0, 0.0, 1.0, 1.0])
+    x = find_interior_point(A, b)
+    assert (A @ x <= b - 1e-6).all()
+
+
+def test_fixed_feature_wrapper():
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    ff = FixedFeatureAcquisitionFunction(
+        acqf=quad, d=3, fixed_indices=(2,), fixed_values=jnp.asarray([0.5])
+    )
+    cand, val = optimize_acqf(
+        ff, bounds, q=1, num_restarts=2, raw_samples=16,
+        key=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(cand[0]), [0.3, 0.7], atol=1e-3)
+    assert abs(float(val) - 1.0) < 1e-5
+
+
+def test_proximal_and_penalized_and_cost():
+    X = jnp.asarray([[0.3, 0.7, 0.5]])
+    prox = ProximalAcquisitionFunction(
+        acqf=quad, X_last=TARGET, proximal_weights=jnp.ones(3)
+    )
+    assert abs(float(prox(X)) - float(quad(X))) < 1e-6  # at X_last: weight 1
+    pen = PenalizedAcquisitionFunction(
+        acqf=quad, penalty=l2_penalty(jnp.zeros(3)),
+        regularization_parameter=0.1,
+    )
+    assert float(pen(X)) < float(quad(X))
+    ca = CostAwareAcquisitionFunction(acqf=quad, cost_fn=lambda X: 2.0)
+    assert abs(float(ca(X)) - float(quad(X)) / 2.0) < 1e-6
+
+
+def test_mixed_optimizer():
+    bounds = jnp.stack([jnp.zeros(3), jnp.ones(3)])
+    cand, val = optimize_acqf_mixed(
+        quad, bounds, q=1,
+        fixed_features_list=[{2: 0.0}, {2: 0.5}, {2: 1.0}],
+        key=jax.random.PRNGKey(0),
+        num_restarts=2, raw_samples=16, maxiter=30,
+    )
+    np.testing.assert_allclose(np.asarray(cand[0]), [0.3, 0.7, 0.5], atol=1e-3)
+
+
+def test_discrete_local_search():
+    choices = [jnp.linspace(0, 1, 11)] * 3
+    X, v = optimize_acqf_discrete_local_search(
+        quad, choices, jax.random.PRNGKey(0), q=2
+    )
+    np.testing.assert_allclose(np.asarray(X[0]), [0.3, 0.7, 0.5], atol=1e-6)
+    assert v[0] >= v[1]
+
+
+def test_homotopy_warm_start():
+    bounds = jnp.stack([jnp.zeros(3), jnp.ones(3)])
+
+    def factory(tau):
+        return lambda X: quad(X) - tau * jnp.sum(jnp.abs(X))
+
+    cand, val = optimize_acqf_homotopy(
+        factory, bounds, q=1, key=jax.random.PRNGKey(1),
+        schedule=log_linear_schedule(1.0, 0.01, 3),
+        num_restarts=2, raw_samples=16, maxiter=30,
+    )
+    np.testing.assert_allclose(np.asarray(cand[0]), [0.3, 0.7, 0.5], atol=0.02)
+
+
+def test_stopping_criterion():
+    sc = ExpMAStoppingCriterion(rel_tol=1e-4)
+    assert not sc.evaluate(100.0)
+    flat = [sc.evaluate(1.0) for _ in range(30)]
+    assert flat[-1]  # flat trace must stop
+    sc2 = ExpMAStoppingCriterion(rel_tol=1e-5)
+    decreasing = [sc2.evaluate(100.0 * (0.5 ** i)) for i in range(15)]
+    assert not any(decreasing)  # fast descent must not stop
+
+
+def test_risk_measures_ordering():
+    s = jnp.asarray(
+        np.random.default_rng(0).normal(size=(32, 12, 1)), jnp.float32
+    )
+    n_w = 4
+    wc = worst_case_risk(n_w)(s)
+    cv = cvar_risk(n_w, alpha=0.75)(s)
+    vr = var_risk(n_w, alpha=0.75)(s)
+    ex = expectation_risk(n_w)(s)
+    assert wc.shape == (32, 3)
+    assert bool((wc <= cv + 1e-6).all())
+    assert bool((cv <= vr + 1e-6).all())
+    assert bool((wc <= ex + 1e-6).all())
+
+
+def test_chebyshev_scalarization():
+    ch = chebyshev_scalarization(
+        jnp.asarray([0.5, 0.5]), jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    )
+    v = np.asarray(ch(jnp.asarray([[0.2, 0.8]])))
+    assert abs(v[0] - (0.1 + 0.05 * 0.5)) < 1e-6
+
+
+def test_batched_multinomial_no_replacement():
+    key = jax.random.PRNGKey(0)
+    w = jnp.asarray([0.0, 0.0, 1.0, 1.0, 1.0])
+    idx = np.asarray(batched_multinomial(key, w, 3))
+    assert len(set(idx.tolist())) == 3
+    assert set(idx.tolist()) <= {2, 3, 4}
