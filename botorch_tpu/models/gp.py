@@ -234,9 +234,12 @@ class SingleTaskGP(struct.PyTreeNode):
             if self.mask is not None:
                 Ks = Ks * self.mask.astype(Ks.dtype)[..., :, None]
             Kss = self._kernel(p, Xq, Xq)  # (..., q, q)
-            mean = p.mean[..., None, None] + jnp.swapaxes(Ks, -1, -2) @ alpha[..., out, :, None]
+            hp = jax.lax.Precision.HIGHEST
+            mean = p.mean[..., None, None] + jnp.matmul(
+                jnp.swapaxes(Ks, -1, -2), alpha[..., out, :, None], precision=hp
+            )
             v = solve_triangular(L[..., out, :, :], Ks)  # (..., n, q)
-            cov = Kss - jnp.swapaxes(v, -1, -2) @ v
+            cov = Kss - jnp.matmul(jnp.swapaxes(v, -1, -2), v, precision=hp)
             if observation_noise:
                 if self.Yvar is not None:
                     nz = jnp.mean(self.Yvar[..., out], axis=-1)

@@ -32,7 +32,14 @@ def pairwise_sqdist(x: Array, z: Array) -> Array:
     """
     x2 = jnp.sum(jnp.square(x), axis=-1)[..., :, None]
     z2 = jnp.sum(jnp.square(z), axis=-1)[..., None, :]
-    xz = jnp.matmul(x, jnp.swapaxes(z, -1, -2), preferred_element_type=jnp.float32)
+    # HIGHEST matmul precision is essential on TPU: the default routes f32
+    # through the MXU as bf16, and the |x|^2+|z|^2-2xz cancellation then
+    # destroys small distances (observed as large BO-regret degradation).
+    xz = jnp.matmul(
+        x, jnp.swapaxes(z, -1, -2),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     return jnp.maximum(x2 + z2 - 2.0 * xz, 0.0)
 
 

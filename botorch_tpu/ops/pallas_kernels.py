@@ -47,7 +47,11 @@ def _kernel_body(kind: str):
         zs = z_ref[:, :] * inv_ls
         x2 = jnp.sum(xs * xs, axis=1, keepdims=True)  # (TM, 1)
         z2 = jnp.sum(zs * zs, axis=1, keepdims=True)  # (TN, 1)
-        xz = jnp.dot(xs, zs.T, preferred_element_type=jnp.float32)
+        xz = jnp.dot(
+            xs, zs.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
         d2 = jnp.maximum(x2 + z2.T - 2.0 * xz, 0.0)
         if kind == "rbf":
             out_ref[:, :] = jnp.exp(-0.5 * d2)
