@@ -1,0 +1,128 @@
+r"""One-shot multi-step lookahead (scenario tree).
+
+Counterpart of `botorch/acquisition/multi_step_lookahead.py:49`
+(`qMultiStepLookahead`, 665 LoC): a K-stage scenario tree where stage-k
+candidates are optimized jointly with all fantasy branches (one-shot).
+
+This implementation covers the common 2-step tree (the reference's default
+configuration collapses to it as well): variables are
+`X_full = [X_0 (q0) | X_1 branches (nf x q1)]`; the forward pass
+fantasizes at `X_0` (fixed qMC base draws), then scores branch `i` with a
+terminal value function (posterior mean or LogEI of the fantasy model) at
+`X_1[i]`, averaging over branches. With `q1 = 1` and a posterior-mean
+terminal value this reduces exactly to qKG — the tree generalizes it with
+immediate-stage utilities and LogEI terminal values.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from botorch_tpu.models.gp import SingleTaskGP
+from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky
+from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
+from botorch_tpu.utils.probability import log_ei_helper
+
+Array = jax.Array
+
+
+class qMultiStepLookahead(struct.PyTreeNode):
+    """Two-stage one-shot lookahead. Call with `(q0 + nf * q1, d)`."""
+
+    model: SingleTaskGP
+    cache: tuple
+    base_samples: Array  # (nf, q0)
+    best_f: Array = 0.0
+    q0: int = struct.field(pytree_node=False, default=1)
+    q1: int = struct.field(pytree_node=False, default=1)
+    num_fantasies: int = struct.field(pytree_node=False, default=16)
+    terminal: str = struct.field(pytree_node=False, default="PosteriorMean")
+
+    def get_augmented_q_batch_size(self) -> int:
+        return self.q0 + self.num_fantasies * self.q1
+
+    def extract_candidates(self, X_full: Array) -> Array:
+        return X_full[..., : self.q0, :]
+
+    def __call__(self, X_full: Array) -> Array:
+        m = self.model
+        q0, q1, nf = self.q0, self.q1, self.num_fantasies
+        X0 = X_full[:q0]
+        X1 = X_full[q0:].reshape(nf, q1, -1)
+
+        # fantasy draws at X0 (original units)
+        post = m.posterior(X0, observation_noise=True, cache=self.cache)
+        Lq = post.scale_tril[0]
+        Yf = post.mean[:, 0] + self.base_samples @ Lq.T  # (nf, q0)
+        Yf_std = (Yf - m.Y_loc[0]) / m.Y_scale[0]
+
+        # shared augmented Cholesky (fantasies share the design)
+        X_aug = jnp.concatenate([m.X, X0], axis=0)
+        p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
+        p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
+        K = m._kernel(p, X_aug, X_aug)
+        n_aug = X_aug.shape[0]
+        if m.Yvar is not None:
+            noise = jnp.concatenate(
+                [m.Yvar[:, 0], jnp.full((q0,), jnp.mean(m.Yvar[:, 0]))]
+            )
+        else:
+            noise = jnp.full((n_aug,), p.noise)
+        K = K + noise[:, None] * jnp.eye(n_aug)
+        L_aug = psd_safe_cholesky(K)
+        resid = jnp.concatenate(
+            [jnp.broadcast_to(m.Y[:, 0] - p.mean, (nf, m.num_train)),
+             Yf_std - p.mean],
+            axis=-1,
+        )
+        alpha = cholesky_solve(L_aug, resid.T).T  # (nf, n_aug)
+
+        # terminal value at each branch's X1
+        def branch_value(alpha_i, X1_i, best_i):
+            Ks = m._kernel(p, X_aug, X1_i)  # (n_aug, q1)
+            mean = p.mean + Ks.T @ alpha_i  # (q1,)
+            mean_orig = m.Y_loc[0] + m.Y_scale[0] * mean
+            if self.terminal == "PosteriorMean":
+                return jnp.max(mean_orig)
+            # LogEI terminal: marginal variance of the fantasy posterior
+            v = jax.scipy.linalg.solve_triangular(L_aug, Ks, lower=True)
+            var = jnp.clip(
+                jnp.diagonal(m._kernel(p, X1_i, X1_i)) - jnp.sum(v * v, 0),
+                1e-12,
+            ) * jnp.square(m.Y_scale[0])
+            sigma = jnp.sqrt(var)
+            u = (mean_orig - best_i) / sigma
+            return jnp.max(log_ei_helper(u) + jnp.log(sigma))
+
+        best_per_branch = jnp.maximum(
+            jnp.max(Yf, axis=-1), jnp.asarray(self.best_f)
+        )
+        vals = jax.vmap(branch_value)(alpha, X1, best_per_branch)
+        return jnp.mean(vals)
+
+
+def make_multistep(
+    model: SingleTaskGP,
+    q0: int = 1,
+    q1: int = 1,
+    num_fantasies: int = 16,
+    best_f: float | Array = 0.0,
+    terminal: str = "PosteriorMean",
+    seed: int = 0,
+) -> qMultiStepLookahead:
+    base = draw_sobol_normal_samples(q0, num_fantasies, seed=seed)
+    return qMultiStepLookahead(
+        model=model,
+        cache=model.train_chol(),
+        base_samples=base,
+        best_f=jnp.asarray(best_f, jnp.float32),
+        q0=q0,
+        q1=q1,
+        num_fantasies=num_fantasies,
+        terminal=terminal,
+    )
