@@ -54,12 +54,42 @@ def main():
     best_time = min(times)
     iters_per_s = iters / best_time
     baseline_iters_per_s = 0.4  # reference CPU loop, comparable budget
+
+    # NUTS throughput (SAASBO config 3): transitions/second across chains.
+    # Reference anchor: pyro runs ONE sequential chain; a SAASBO fit at
+    # this size is ~8 transitions/s on CPU-class hardware.
+    import numpy as np
+
+    from botorch_tpu.models.fully_bayesian import fit_saas_gp
+    from botorch_tpu.test_functions.synthetic import Branin as _B
+
+    rng = np.random.default_rng(0)
+    n, d = 24, 10
+    Xs = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    prob2 = _B()
+    Xb = Xs[:, :2] * (prob2.bounds[1] - prob2.bounds[0]) + prob2.bounds[0]
+    Ys = -prob2(Xb)
+    warmup, samples, chains = 128, 64, 4
+    # compile warmup
+    m, _ = fit_saas_gp(Xs, Ys, jax.random.PRNGKey(0), num_warmup=warmup,
+                       num_samples=samples, thinning=8, num_chains=chains)
+    jax.block_until_ready(m.params.mean)
+    t0 = time.perf_counter()
+    m, _ = fit_saas_gp(Xs, Ys, jax.random.PRNGKey(1), num_warmup=warmup,
+                       num_samples=samples, thinning=8, num_chains=chains)
+    jax.block_until_ready(m.params.mean)
+    nuts_time = time.perf_counter() - t0
+    transitions = chains * (warmup + samples // chains)
+    nuts_per_s = transitions / nuts_time
+
     print(json.dumps({
         "metric": "bo_iters_per_s_branin_logei",
         "value": round(iters_per_s, 3),
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / baseline_iters_per_s, 2),
         "final_regret_mean": round(sum(regrets) / len(regrets), 5),
+        "nuts_transitions_per_s": round(nuts_per_s, 2),
+        "nuts_vs_baseline": round(nuts_per_s / 8.0, 2),
         "device": str(jax.devices()[0]),
     }))
 
