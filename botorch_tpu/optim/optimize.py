@@ -56,6 +56,30 @@ def initialize_q_batch(
     return X[idcs]
 
 
+def sample_around_best(
+    key: Array,
+    X_best: Array,
+    bounds: Array,
+    n: int,
+    sigma: float = 1e-1,
+) -> Array:
+    """Truncated-normal perturbations of incumbent point(s) (reference
+    `initializers.py:1040-1196` `sample_around_best` /
+    `sample_truncated_normal_perturbations`): half the draws perturb all
+    dims, half perturb a random subset (subset-dims heuristic)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = bounds.shape[-1]
+    base = X_best[jax.random.randint(k1, (n,), 0, X_best.shape[0])]
+    scale = sigma * (bounds[1] - bounds[0])
+    noise = jax.random.truncated_normal(k2, -2.0, 2.0, (n, d)) * scale
+    subset = jax.random.uniform(k3, (n, d)) < jnp.minimum(
+        1.0, 20.0 / d
+    )
+    use_subset = jnp.arange(n)[:, None] >= n // 2
+    noise = jnp.where(use_subset & ~subset, 0.0, noise)
+    return jnp.clip(base + noise, bounds[0], bounds[1])
+
+
 def gen_batch_initial_conditions(
     acqf: Callable[[Array], Array],
     bounds: Array,
@@ -68,6 +92,8 @@ def gen_batch_initial_conditions(
     batch_eval_limit: Optional[int] = None,
     sobol: Optional[tuple[Array, Array]] = None,
     sobol_skip: Array | int = 0,
+    X_best: Optional[Array] = None,
+    sample_around_best_frac: float = 0.25,
 ) -> Array:
     """Sobol raw q-batches -> no-grad acqf eval -> Boltzmann selection
     (reference `initializers.py:243-438`). Returns `(num_restarts, q, d)`.
@@ -85,8 +111,13 @@ def gen_batch_initial_conditions(
         u = draw_sobol(sv, shift, raw_samples, skip=sobol_skip)
         u = u.reshape(raw_samples, q, d)
         X_raw = bounds[0] + (bounds[1] - bounds[0]) * u
+    if X_best is not None and sample_around_best_frac > 0:
+        key, k_ab = jax.random.split(key)
+        n_ab = max(int(raw_samples * sample_around_best_frac), 1)
+        ab = sample_around_best(k_ab, jnp.atleast_2d(X_best), bounds, n_ab * q)
+        X_raw = jnp.concatenate([X_raw, ab.reshape(n_ab, q, d)], axis=0)
     vals = jax.lax.map(
-        acqf, X_raw, batch_size=batch_eval_limit or raw_samples
+        acqf, X_raw, batch_size=batch_eval_limit or X_raw.shape[0]
     )
     return initialize_q_batch(key, X_raw, vals, num_restarts, eta=eta)
 
@@ -105,12 +136,22 @@ def optimize_acqf(
     sobol: Optional[tuple[Array, Array]] = None,
     sobol_skip: Array | int = 0,
     shard_fn=None,
+    X_best: Optional[Array] = None,
+    inequality_constraints: Optional[list] = None,
+    constraint_penalty: float = 1e3,
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
 
     Args:
         acqf: pure function `(q, d) -> scalar` (vmapped internally).
         key: PRNG key for IC selection randomness.
+        X_best: optional incumbent(s) for `sample_around_best` ICs.
+        inequality_constraints: list of `(indices, coefficients, rhs)`
+            meaning `sum_i coef_i x[idx_i] >= rhs` per candidate (the
+            reference's convention, `optim/parameter_constraints.py`).
+            Enforced by polytope-sampled ICs + a smooth quadratic penalty
+            (replacing the reference's SLSQP path); final candidates are
+            feasibility-checked.
 
     Returns:
         `(candidates (q, d), value)` — or, with `return_full`, the per-
@@ -122,15 +163,41 @@ def optimize_acqf(
     d = bounds.shape[-1]
 
     if initial_conditions is None:
-        ics = gen_batch_initial_conditions(
-            acqf, bounds, q, num_restarts, raw_samples, key, seed=seed,
-            sobol=sobol, sobol_skip=sobol_skip,
-        )
+        if inequality_constraints:
+            from botorch_tpu.utils.sampling import get_polytope_samples
+
+            key, k_poly = jax.random.split(key)
+            pts = get_polytope_samples(
+                k_poly, raw_samples * q, bounds,
+                inequality_constraints=inequality_constraints,
+            )
+            X_raw = pts.reshape(raw_samples, q, d)
+            vals = jax.lax.map(acqf, X_raw)
+            ics = initialize_q_batch(key, X_raw, vals, num_restarts)
+        else:
+            ics = gen_batch_initial_conditions(
+                acqf, bounds, q, num_restarts, raw_samples, key, seed=seed,
+                sobol=sobol, sobol_skip=sobol_skip, X_best=X_best,
+            )
     else:
         ics = initial_conditions
         num_restarts = ics.shape[0]
 
-    neg_fun = lambda v: -acqf(v.reshape(q, d))
+    if inequality_constraints:
+        def _violation(Xq):
+            total = 0.0
+            for idx, coef, rhs in inequality_constraints:
+                lhs = jnp.sum(
+                    Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1
+                )
+                total = total + jnp.sum(jnp.square(jnp.maximum(rhs - lhs, 0.0)))
+            return total
+
+        neg_fun = lambda v: -acqf(v.reshape(q, d)) + constraint_penalty * _violation(
+            v.reshape(q, d)
+        )
+    else:
+        neg_fun = lambda v: -acqf(v.reshape(q, d))
     lo = jnp.tile(bounds[0], q)
     hi = jnp.tile(bounds[1], q)
     res = multi_start_lbfgsb(
