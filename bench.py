@@ -69,7 +69,9 @@ def main():
     prob2 = _B()
     Xb = Xs[:, :2] * (prob2.bounds[1] - prob2.bounds[0]) + prob2.bounds[0]
     Ys = -prob2(Xb)
-    warmup, samples, chains = 128, 64, 4
+    # Chains are vmapped lanes — nearly free on TPU, and exactly the axis
+    # the reference cannot parallelize (pyro runs ONE chain).
+    warmup, samples, chains = 128, 128, 16
     # compile warmup
     m, _ = fit_saas_gp(Xs, Ys, jax.random.PRNGKey(0), num_warmup=warmup,
                        num_samples=samples, thinning=8, num_chains=chains)
@@ -79,7 +81,7 @@ def main():
                        num_samples=samples, thinning=8, num_chains=chains)
     jax.block_until_ready(m.params.mean)
     nuts_time = time.perf_counter() - t0
-    transitions = chains * (warmup + samples // chains)
+    transitions = chains * (warmup + max(samples // chains, 8))
     nuts_per_s = transitions / nuts_time
 
     print(json.dumps({

@@ -36,7 +36,13 @@ Array = jax.Array
 
 
 class qKnowledgeGradient(struct.PyTreeNode):
-    """One-shot qKG (maximize). Call with `X_full: (q + nf, d)`."""
+    """One-shot qKG (maximize). Call with `X_full: (q + nf, d)`.
+
+    `project` enables the multi-fidelity variant
+    (`qMultiFidelityKnowledgeGradient`, reference
+    `knowledge_gradient.py:308`): fantasy solution points are projected to
+    the target fidelity before taking the value — compose with a
+    cost-aware wrapper for the full MFKG."""
 
     model: SingleTaskGP
     cache: tuple  # (L, alpha) over train data
@@ -44,6 +50,7 @@ class qKnowledgeGradient(struct.PyTreeNode):
     current_value: Array = 0.0
     q: int = struct.field(pytree_node=False, default=1)
     num_fantasies: int = struct.field(pytree_node=False, default=64)
+    project: object = struct.field(pytree_node=False, default=None)
 
     def get_augmented_q_batch_size(self) -> int:
         """`q + num_fantasies` (`knowledge_gradient.py:152-200`)."""
@@ -57,6 +64,8 @@ class qKnowledgeGradient(struct.PyTreeNode):
         q, nf = self.q, self.num_fantasies
         X_actual = X_full[:q]
         X_fant = X_full[q:]  # (nf, d)
+        if self.project is not None:
+            X_fant = self.project(X_fant)
 
         # 1) fantasy observations at X_actual (joint, with obs noise)
         post = m.posterior(X_actual, observation_noise=True, cache=self.cache)
@@ -111,7 +120,10 @@ def make_qkg(
     num_fantasies: int = 64,
     current_value: float | Array = 0.0,
     seed: int = 0,
+    project=None,
 ) -> qKnowledgeGradient:
+    """Build qKG (or qMultiFidelityKG when `project` maps candidates to the
+    target fidelity, e.g. `lambda X: X.at[..., -1].set(1.0)`)."""
     if model.num_outputs != 1:
         raise ValueError("qKG supports single-output models")
     base = draw_sobol_normal_samples(q, num_fantasies, seed=seed)
@@ -122,6 +134,7 @@ def make_qkg(
         current_value=jnp.asarray(current_value, jnp.float32),
         q=q,
         num_fantasies=num_fantasies,
+        project=project,
     )
 
 

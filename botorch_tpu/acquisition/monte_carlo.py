@@ -216,9 +216,14 @@ class qUpperConfidenceBound(MCAcquisitionFunction):
 # ------------------------------------------------------------------------- #
 class _NoisyMixin(MCAcquisitionFunction):
     """Joint (baseline, candidate) evaluation with per-sample incremental
-    best over the baseline part."""
+    best over the baseline part.
+
+    `baseline_mask` supports PADDED baselines (the compiled-BO-loop buffer
+    design, `loop.py`): masked-out rows are excluded from the per-sample
+    best and contribute nothing."""
 
     X_baseline: Array = None
+    baseline_mask: Optional[Array] = None  # (nb,) bool
 
     def _joint_obj(self, X: Array):
         nb = self.X_baseline.shape[-2]
@@ -233,6 +238,8 @@ class _NoisyMixin(MCAcquisitionFunction):
             )
             # hard-gate infeasible baseline points to -inf before the max
             obj_base = jnp.where(feas > math.log(0.5), obj_base, -jnp.inf)
+        if self.baseline_mask is not None:
+            obj_base = jnp.where(self.baseline_mask, obj_base, -jnp.inf)
         best_f = jnp.max(obj_base, axis=-1, keepdims=True)
         best_f = jnp.where(jnp.isfinite(best_f), best_f, obj_base.min())
         return samples_new, obj_new, best_f

@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.acquisition import analytic as analytic_mod
+from botorch_tpu.acquisition.monte_carlo import (
+    qLogNoisyExpectedImprovement,
+    _draw_base_samples,
+)
 from botorch_tpu.fit import fit_gp
 from botorch_tpu.models.gp import make_gp
 from botorch_tpu.optim.optimize import optimize_acqf
@@ -76,7 +80,7 @@ def append_observations(state: BOState, X_new: Array, Y_new: Array) -> BOState:
     jax.jit,
     static_argnames=(
         "acqf_name", "q", "num_restarts", "raw_samples", "fit_restarts",
-        "fit_maxiter", "acq_maxiter", "kernel", "shard_fn",
+        "fit_maxiter", "acq_maxiter", "kernel", "mc_samples", "shard_fn",
     ),
 )
 def bo_step(
@@ -91,6 +95,7 @@ def bo_step(
     fit_maxiter: int = 60,
     acq_maxiter: int = 60,
     kernel: str = "rbf",
+    mc_samples: int = 128,
     shard_fn=None,
 ) -> tuple[Array, Array]:
     """One BO iteration on the padded state: MAP-fit the GP on the masked
@@ -111,8 +116,18 @@ def bo_step(
         shard_fn=shard_fn,
     )
     best_f = jnp.max(jnp.where(mask, state.Y, -jnp.inf))
-    acqf_cls = _ANALYTIC[acqf_name]
-    acqf = acqf_cls(model=model, cache=model.train_chol(), best_f=best_f)
+    if acqf_name == "qLogNEI":
+        base = _draw_base_samples(capacity + q, 1, mc_samples, seed=17)
+        acqf = qLogNoisyExpectedImprovement(
+            model=model,
+            cache=model.train_chol(),
+            base_samples=base,
+            X_baseline=state.X,
+            baseline_mask=mask,
+        )
+    else:
+        acqf_cls = _ANALYTIC[acqf_name]
+        acqf = acqf_cls(model=model, cache=model.train_chol(), best_f=best_f)
 
     unit_bounds = jnp.stack([jnp.zeros(d), jnp.ones(d)])
     # Continue the shared Sobol stream: each step consumes `raw_samples`

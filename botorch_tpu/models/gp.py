@@ -280,6 +280,35 @@ class SingleTaskGP(struct.PyTreeNode):
 
 
 # ---------------------------------------------------------------------- #
+def _maybe_warn_input_scaling(train_X, mask) -> None:
+    """Warn when inputs are far outside the unit cube (reference
+    `validate_input_scaling`, `models/utils/assorted.py` /
+    `settings.py:69-81`). Skipped for traced (in-jit) values."""
+    import warnings
+
+    import numpy as _np
+
+    from botorch_tpu import settings as _settings
+    from botorch_tpu.exceptions import InputDataWarning
+
+    if not _settings.validate_input_scaling.on():
+        return
+    if isinstance(train_X, jax.core.Tracer):
+        return
+    X = _np.asarray(train_X)
+    if mask is not None and not isinstance(mask, jax.core.Tracer):
+        valid = _np.asarray(mask).astype(bool)
+        if valid.any():
+            X = X[valid]
+    if X.size and ((X.min() < -0.1) or (X.max() > 1.1)):
+        warnings.warn(
+            "train_X is not contained in the unit cube; consider "
+            "normalizing inputs (utils.transforms.normalize).",
+            InputDataWarning,
+            stacklevel=3,
+        )
+
+
 def default_init_params(d: int, m: int = 1, use_outputscale: bool = False) -> GPParams:
     """Initial hyperparameters at the prior modes (reference
     `gpytorch_modules.py:117-126` uses `initial_value=prior.mode`)."""
@@ -315,6 +344,7 @@ def make_gp(
         train_Y = train_Y[:, None]
     n, m = train_Y.shape
     d = train_X.shape[-1]
+    _maybe_warn_input_scaling(train_X, mask)
     if standardize and (mask is not None or n > 1):
         if mask is None:
             loc = jnp.mean(train_Y, axis=0)

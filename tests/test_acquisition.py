@@ -27,6 +27,10 @@ from botorch_tpu.models.gp import make_gp
 from botorch_tpu.fit import fit_gp
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _model(seed=0, n=12):
     rng = np.random.default_rng(seed)
     X = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)

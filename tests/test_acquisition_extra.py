@@ -22,6 +22,10 @@ from botorch_tpu.optim.turbo import turbo_init, turbo_update
 from botorch_tpu.portfolio import bma_weights, hedge_probabilities, HedgeState
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _model(seed=0, n=15):
     rng = np.random.default_rng(seed)
     X = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)

@@ -47,7 +47,7 @@ def test_svgp_fits_and_predicts():
     f = jnp.sin(4 * X[:, 0]) + X[:, 1]
     Y = f + 0.05 * jnp.asarray(rng.normal(size=300), jnp.float32)
     svgp = fit_svgp(make_svgp(X, Y, num_inducing=32), jax.random.PRNGKey(0),
-                    steps=300, batch_size=128)
+                    steps=200, batch_size=128)
     post = svgp.posterior(X[:50])
     rmse = float(jnp.sqrt(jnp.mean((post.mean[:, 0] - f[:50]) ** 2)))
     assert rmse < 0.2
@@ -60,7 +60,7 @@ def test_pathwise_moments_match_posterior():
     model = fit_gp(make_gp(X, Y[:, None]), jax.random.PRNGKey(0),
                    num_restarts=2, maxiter=40)
     paths = draw_matheron_paths(model, jax.random.PRNGKey(1),
-                                num_paths=1500, num_features=1024)
+                                num_paths=1200, num_features=512)
     Xt = jnp.asarray(np.random.default_rng(1).uniform(size=(6, 2)), jnp.float32)
     vals = np.asarray(paths(Xt))
     post = model.posterior(Xt)
@@ -171,7 +171,8 @@ def test_saas_fit_tiny_budget():
     Y = jnp.asarray(np.sin(6 * np.asarray(X[:, 0])), jnp.float32)
     model, stats = fit_saas_gp(
         X, Y, jax.random.PRNGKey(0),
-        num_warmup=32, num_samples=16, thinning=4, num_chains=2,
+        num_warmup=16, num_samples=16, thinning=4, num_chains=2,
+        max_depth=4,
     )
     S = model.params.mean.shape[0]
     assert S == 4  # (num_samples / num_chains) / thinning * num_chains

@@ -1,0 +1,194 @@
+"""Tests: pairwise GP, multitask GP, contextual GPs, HOGP, mixed/fidelity
+kernels, community components, JES, multi-step lookahead, factory."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botorch_tpu.acquisition.factory import get_acquisition_function
+from botorch_tpu.acquisition.joint_entropy_search import make_jes
+from botorch_tpu.acquisition.multi_step_lookahead import make_multistep
+from botorch_tpu.acquisition.parego import make_qlognparego
+from botorch_tpu.community import (
+    hellinger_gaussian,
+    qBayesianQueryByComittee,
+    wasserstein_gaussian,
+)
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.contextual import fit_sac_gp, make_sac_gp
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.models.higher_order_gp import fit_hogp, make_hogp
+from botorch_tpu.models.multitask import fit_multitask_gp, make_multitask_gp
+from botorch_tpu.models.pairwise_gp import (
+    AnalyticExpectedUtilityOfBestOption,
+    fit_pairwise_gp,
+    make_pairwise_gp,
+)
+
+
+@functools.lru_cache(maxsize=2)
+def _single_model(seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.uniform(size=(14, 2)), jnp.float32)
+    Y = jnp.asarray(
+        np.sin(5 * np.asarray(X[:, 0])) + np.asarray(X[:, 1]), jnp.float32
+    )
+    model = fit_gp(make_gp(X, Y[:, None]), jax.random.PRNGKey(seed),
+                   num_restarts=2, maxiter=25)
+    return model, X, Y
+
+
+def test_pairwise_gp_learns_utilities():
+    rng = np.random.default_rng(0)
+    n = 20
+    X = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+    util = np.asarray(jnp.sin(4 * X[:, 0]) + X[:, 1])
+    comps = []
+    for _ in range(50):
+        i, j = rng.choice(n, 2, replace=False)
+        comps.append((i, j) if util[i] > util[j] else (j, i))
+    model = fit_pairwise_gp(make_pairwise_gp(X, np.asarray(comps)), maxiter=25)
+    corr = np.corrcoef(np.asarray(model.f_map), util)[0, 1]
+    assert corr > 0.6
+    eubo = AnalyticExpectedUtilityOfBestOption(model=model)
+    assert np.isfinite(float(eubo(X[:2])))
+
+
+def test_multitask_transfer():
+    rng = np.random.default_rng(0)
+    f = lambda x: np.sin(5 * x[:, 0])
+    X0 = rng.uniform(size=(6, 1))
+    X1 = rng.uniform(size=(24, 1))
+    X = np.concatenate([
+        np.concatenate([X0, np.zeros((6, 1))], 1),
+        np.concatenate([X1, np.ones((24, 1))], 1),
+    ])
+    Y = np.concatenate([f(X0), f(X1) + 0.3])
+    model = fit_multitask_gp(
+        make_multitask_gp(jnp.asarray(X, jnp.float32),
+                          jnp.asarray(Y, jnp.float32), task_feature=1,
+                          num_tasks=2), maxiter=40,
+    )
+    Xt = jnp.asarray(rng.uniform(size=(30, 1)), jnp.float32)
+    post = model.posterior(Xt, task=0)
+    rmse = float(jnp.sqrt(jnp.mean(
+        (post.mean[:, 0] - jnp.asarray(f(np.asarray(Xt)))) ** 2
+    )))
+    assert rmse < 0.15
+    # learned task correlation should be strongly positive
+    tc = np.asarray(model.task_covar)
+    assert tc[0, 1] / np.sqrt(tc[0, 0] * tc[1, 1]) > 0.5
+
+
+def test_contextual_sac():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(25, 4)), jnp.float32)
+    Y = jnp.sin(4 * X[:, 0]) * X[:, 1] + jnp.cos(4 * X[:, 2]) * X[:, 3]
+    sac = fit_sac_gp(make_sac_gp(X, Y, {"a": [0, 1], "b": [2, 3]}), maxiter=40)
+    Xt = jnp.asarray(rng.uniform(size=(20, 4)), jnp.float32)
+    Yt = jnp.sin(4 * Xt[:, 0]) * Xt[:, 1] + jnp.cos(4 * Xt[:, 2]) * Xt[:, 3]
+    post = sac.posterior(Xt)
+    rmse = float(jnp.sqrt(jnp.mean((post.mean[:, 0] - Yt) ** 2)))
+    assert rmse < 0.3 * float(Yt.std())
+
+
+def test_hogp_kronecker_mll_matches_dense():
+    rng = np.random.default_rng(0)
+    n = 10
+    X = jnp.asarray(rng.uniform(size=(n, 2)), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(n, 2, 2)), jnp.float32)
+    model = make_hogp(X, Y)
+    o = 4
+    Kx = np.asarray(model._Kx(model.X, model.X), np.float64) + 1e-5 * np.eye(n)
+    Ko = np.asarray(model._Ko(), np.float64)
+    noise = np.exp(float(model.raw_noise))
+    Kbig = np.kron(Kx, Ko) + noise * np.eye(n * o)
+    y = np.asarray(model.Y, np.float64).reshape(-1)
+    sign, logdet = np.linalg.slogdet(Kbig)
+    ref = -0.5 * (y @ np.linalg.solve(Kbig, y) + logdet
+                  + len(y) * np.log(2 * np.pi))
+    assert abs(float(model.mll()) - ref) < 0.02 * abs(ref) + 1.0
+
+
+def test_hogp_fit_and_posterior_shapes():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(15, 2)), jnp.float32)
+    grid = np.linspace(0, 1, 6)
+    Y = jnp.asarray(
+        np.sin(3 * np.asarray(X[:, :1]) + grid[None, :]), jnp.float32
+    ).reshape(15, 2, 3)
+    model = fit_hogp(make_hogp(X, Y), maxiter=30)
+    post = model.posterior(X[:4])
+    assert post.mean.shape == (4, 6)
+    assert bool((np.asarray(post.variance) > 0).all())
+
+
+def test_mixed_and_fidelity_kernels():
+    rng = np.random.default_rng(0)
+    Xc = rng.uniform(size=(18, 2))
+    cat = rng.integers(0, 3, size=(18, 1))
+    X = jnp.asarray(np.concatenate([Xc, cat], -1), jnp.float32)
+    Y = jnp.asarray(np.sin(3 * Xc[:, 0]) + 0.5 * cat[:, 0], jnp.float32)
+    m = fit_gp(make_gp(X, Y[:, None], kernel="mixed:2", use_outputscale=True),
+               jax.random.PRNGKey(0), num_restarts=2, maxiter=25)
+    post = m.posterior(X[:4])
+    assert np.isfinite(np.asarray(post.mean)).all()
+    mf = fit_gp(
+        make_gp(X, Y[:, None], kernel="fidelity:2", use_outputscale=True),
+        jax.random.PRNGKey(0), num_restarts=2, maxiter=25,
+    )
+    assert np.isfinite(float(mf.mll()))
+
+
+def test_jes_prefers_uncertain_optimum_region():
+    model, X, Y = _single_model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    jes = make_jes(model, bounds, jax.random.PRNGKey(1), num_optima=6,
+                   num_features=256, raw_samples=128, maxiter=15)
+    assert (np.asarray(jes.f_opt) > float(Y.max()) - 0.5).all()
+    at_data = float(jes(X[:1]))
+    v = float(jes(jnp.asarray([[0.31, 0.99]], jnp.float32)))
+    assert v >= at_data - 1e-4
+
+
+def test_multistep_lookahead():
+    model, X, Y = _single_model()
+    msl = make_multistep(model, q0=1, q1=1, num_fantasies=6,
+                         best_f=float(Y.max()))
+    X_full = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(7, 2)), jnp.float32
+    )
+    v = float(msl(X_full))
+    g = np.asarray(jax.grad(lambda x: msl(x))(X_full))
+    assert np.isfinite(v) and np.isfinite(g).all()
+    assert msl.extract_candidates(X_full).shape == (1, 2)
+
+
+def test_parego():
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.stack([jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])], -1)
+    m = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+               maxiter=20)
+    pg = make_qlognparego(m, X, Y, jax.random.PRNGKey(1), q=1, num_samples=32)
+    v = float(pg(jnp.asarray([[0.4, 0.6]], jnp.float32)))
+    assert np.isfinite(v)
+
+
+def test_factory_covers_all_names():
+    model, X, Y = _single_model()
+    for name in ["EI", "LogEI", "PI", "LogPI", "UCB", "PosteriorMean",
+                 "qEI", "qLogEI", "qPI", "qSR", "qUCB", "qNEI", "qLogNEI"]:
+        acqf = get_acquisition_function(
+            name, model, train_X=X, train_Y=Y, num_samples=16
+        )
+        assert np.isfinite(float(acqf(jnp.asarray([[0.4, 0.6]], jnp.float32)))), name
+
+
+def test_stat_distances():
+    assert float(wasserstein_gaussian(0.0, 1.0, 0.0, 1.0)) == 0.0
+    assert float(hellinger_gaussian(0.0, 1.0, 0.0, 1.0)) < 1e-6
+    assert float(hellinger_gaussian(0.0, 1.0, 10.0, 1.0)) > 0.99
