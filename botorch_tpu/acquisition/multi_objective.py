@@ -288,25 +288,45 @@ def make_qnehvi(
         bs = post.rsample_from_base_samples(base[:, :nb, :])
         bs_np = np.asarray(bs)
         ref_np = np.asarray(ref_point)
-        cells = []
+        fronts = []
         for s in range(bs_np.shape[0]):
             Y = bs_np[s]
             nd = np.asarray(is_non_dominated(jnp.asarray(Y)))
             front = Y[nd]
-            front = front[(front > ref_np).all(-1)]
-            if front.shape[0] == 0:
-                cells.append((ref_np[None, :], np.full((1, m), CLIP_MAX)))
-            else:
-                cells.append(
-                    nondominated_hypercell_bounds_np(front, ref_np, CLIP_MAX)
-                )
-        C = max(c[0].shape[0] for c in cells)
-        lo = np.zeros((len(cells), C, m), np.float32)
-        up = np.zeros((len(cells), C, m), np.float32)
-        for s, (l, u) in enumerate(cells):
-            k = l.shape[0]
-            lo[s, :k], up[s, :k] = l, u
-            lo[s, k:], up[s, k:] = ref_np, ref_np  # zero-volume padding
+            fronts.append(front[(front > ref_np).all(-1)])
+
+        from botorch_tpu.utils.native import decompose_batch_native
+
+        native = decompose_batch_native(fronts, ref_np, clip_max=CLIP_MAX)
+        if native is not None:
+            # C++ engine (csrc/box_decomposition.cpp): ~80x the numpy path
+            lo64, up64, counts = native
+            # empty fronts get one full-region cell [ref, clip]
+            for s, f in enumerate(fronts):
+                if f.shape[0] == 0:
+                    lo64[s, 0], up64[s, 0] = ref_np, np.full((m,), CLIP_MAX)
+            lo = lo64.astype(np.float32)
+            up = up64.astype(np.float32)
+        else:
+            cells = []
+            for front in fronts:
+                if front.shape[0] == 0:
+                    cells.append(
+                        (ref_np[None, :], np.full((1, m), CLIP_MAX))
+                    )
+                else:
+                    cells.append(
+                        nondominated_hypercell_bounds_np(
+                            front, ref_np, CLIP_MAX
+                        )
+                    )
+            C = max(c[0].shape[0] for c in cells)
+            lo = np.zeros((len(cells), C, m), np.float32)
+            up = np.zeros((len(cells), C, m), np.float32)
+            for s, (l, u) in enumerate(cells):
+                k = l.shape[0]
+                lo[s, :k], up[s, :k] = l, u
+                lo[s, k:], up[s, k:] = ref_np, ref_np  # zero-volume padding
         acqf = acqf.replace(
             cell_lower=jnp.asarray(lo), cell_upper=jnp.asarray(up)
         )
