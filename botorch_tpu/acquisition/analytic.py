@@ -233,3 +233,47 @@ def make_acqf(name: str, model: SingleTaskGP, **kwargs):
         "PosteriorStandardDeviation": PosteriorStandardDeviation,
     }
     return _with_cache(registry[name], model, **kwargs)
+
+
+class LogNoisyExpectedImprovement(AnalyticAcquisitionFunction):
+    """Analytic (Log)NEI via fantasy-model averaging (reference
+    `analytic.py:577-744`): draw fantasy noiseless-observation models at the
+    train points and average LogEI over them. Built with `make_noisy_ei`."""
+
+    fantasy_models: SingleTaskGP = None  # ensemble-batched model
+    best_f: Array = None  # (nf,) per-fantasy incumbent
+
+    def __call__(self, X: Array) -> Array:
+        post = self.fantasy_models.posterior(X)
+        mean = post.mean[..., 0, 0]  # (nf,)
+        sigma = jnp.sqrt(jnp.clip(post.variance[..., 0, 0], _MIN_VAR))
+        u = (mean - self.best_f) / sigma
+        u = u if self.maximize else -u
+        return reduce_ensemble(log_ei_helper(u) + jnp.log(sigma), log=True)
+
+
+class NoisyExpectedImprovement(LogNoisyExpectedImprovement):
+    """Linear-scale analytic NEI (reference `analytic.py:663`)."""
+
+    def __call__(self, X: Array) -> Array:
+        return jnp.exp(super().__call__(X))
+
+
+def make_noisy_ei(
+    cls, model: SingleTaskGP, X_observed, key, num_fantasies: int = 20,
+    maximize: bool = True,
+):
+    """Construct analytic (Log)NEI (reference `analytic.py:577-660`):
+    fantasize noiseless observations at `X_observed`, each fantasy model's
+    incumbent is its own best fantasy draw."""
+    from botorch_tpu.acquisition.knowledge_gradient import fantasize
+
+    fm = fantasize(model, X_observed, key, num_fantasies)
+    # per-fantasy best over the fantasy draws at X_observed (original units)
+    n_obs = X_observed.shape[0]
+    Yf = fm.Y[..., -n_obs:, 0] * fm.Y_scale[0] + fm.Y_loc[0]  # (nf, n_obs)
+    best_f = jnp.max(Yf, axis=-1)
+    return cls(
+        model=model, cache=model.train_chol(), maximize=maximize,
+        fantasy_models=fm, best_f=best_f,
+    )

@@ -131,3 +131,22 @@ def expectation_risk(n_w: int, objective=None):
         return jnp.mean(_reshape_w(base, n_w), axis=-1)
 
     return obj
+
+
+def expectation_posterior_transform(n_w: int):
+    """`ExpectationPosteriorTransform` (`objective.py:126`): average the
+    posterior over `n_w` consecutive rows (the InputPerturbation expansion),
+    producing the posterior of the expected outcome."""
+
+    def transform(post: GaussianPosterior) -> GaussianPosterior:
+        mean = post.mean
+        q_tot = mean.shape[-2]
+        q = q_tot // n_w
+        W = jnp.kron(jnp.eye(q), jnp.ones((1, n_w)) / n_w)  # (q, q_tot)
+        new_mean = jnp.einsum("qt,...tm->...qm", W, mean)
+        new_cov = jnp.einsum(
+            "qt,...mts,ps->...mqp", W, post.cov, W
+        )
+        return GaussianPosterior(mean=new_mean, cov=new_cov)
+
+    return transform

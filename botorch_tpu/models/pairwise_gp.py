@@ -46,6 +46,9 @@ class PairwiseGP(struct.PyTreeNode):
     f_map: Array  # (n,) Laplace mode (utilities, zero-mean scale)
     noise: float = struct.field(pytree_node=False, default=1.0)
     kernel: str = struct.field(pytree_node=False, default="rbf")
+    likelihood: str = struct.field(pytree_node=False, default="probit")
+    # "probit" (PairwiseProbitLikelihood) or "logit"
+    # (PairwiseLogitLikelihood, reference `likelihoods/pairwise.py:172`)
 
     @property
     def num_outputs(self) -> int:
@@ -71,6 +74,12 @@ class PairwiseGP(struct.PyTreeNode):
         w = self.comparisons[:, 0]
         l = self.comparisons[:, 1]
         z = (f[w] - f[l]) / (_sqrt2 * self.noise)
+        if self.likelihood == "logit":
+            ll = jnp.sum(jax.nn.log_sigmoid(z))
+            sig = jax.nn.sigmoid(z)
+            h = 1.0 - sig          # d ll/dz
+            w2 = sig * (1.0 - sig)  # -d^2 ll/dz^2
+            return ll, h, w2, w, l
         ll = jnp.sum(log_ndtr(z))
         # gradient pieces: d ll / dz = phi(z)/Phi(z)
         zc = jnp.clip(z, -6.0, 6.0)
@@ -150,7 +159,8 @@ class PairwiseGP(struct.PyTreeNode):
 
 
 def make_pairwise_gp(
-    X: Array, comparisons: Array, kernel: str = "rbf"
+    X: Array, comparisons: Array, kernel: str = "rbf",
+    likelihood: str = "probit",
 ) -> PairwiseGP:
     d = X.shape[-1]
     ls0 = priors_mod.dim_scaled_lognormal_lengthscale_prior(d).mode
@@ -161,6 +171,7 @@ def make_pairwise_gp(
         raw_outputscale=jnp.asarray(0.0),
         f_map=jnp.zeros(X.shape[0]),
         kernel=kernel,
+        likelihood=likelihood,
     )
     return model.update_mode()
 

@@ -153,12 +153,24 @@ def make_fidelity(fidelity_dims: tuple):
     return k
 
 
+def exponential_decay(x: Array, z: Array, lengthscale: Array) -> Array:
+    """Exponential-decay kernel over non-negative inputs (reference
+    `models/kernels/exponential_decay.py:18`):
+    `k(x, z) = beta^alpha / (x + z + beta)^alpha` with `beta` tied to the
+    (single-dim) lengthscale and `alpha = 2` fixed."""
+    beta = lengthscale[..., 0]
+    alpha = 2.0
+    s_ = x[..., :, 0][..., :, None] + z[..., :, 0][..., None, :]
+    return jnp.power(beta[..., None, None] / (s_ + beta[..., None, None]), alpha)
+
+
 KERNELS = {
     "rbf": rbf,
     "matern52": matern52,
     "matern32": matern32,
     "matern12": matern12,
     "categorical": categorical,
+    "exponential_decay": exponential_decay,
 }
 
 
