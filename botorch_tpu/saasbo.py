@@ -1,0 +1,81 @@
+r"""SAASBO closed-loop driver (BASELINE.json config 3).
+
+The high-dimensional BO recipe of [Eriksson2021saasbo] as exercised by the
+reference (`SaasFullyBayesianSingleTaskGP` + `fit_fully_bayesian_model_nuts`
++ qLogNEI/LogEI over the hyperparameter ensemble): every iteration re-runs
+NUTS over the SAAS posterior (parallel chains — the TPU-native axis) and
+optimizes an ensemble-reduced acquisition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from botorch_tpu.acquisition.analytic import make_acqf
+from botorch_tpu.models.fully_bayesian import fit_saas_gp, median_lengthscales
+from botorch_tpu.optim.optimize import optimize_acqf
+from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
+
+Array = jax.Array
+
+
+class SaasboResult(NamedTuple):
+    X: Array
+    Y: Array
+    best_curve: Array
+    median_lengthscales: Array  # (iters, d)
+
+
+def run_saasbo(
+    objective: Callable[[Array], Array],
+    d: int,
+    n_init: int,
+    iterations: int,
+    key: Array,
+    num_warmup: int = 256,
+    num_samples: int = 128,
+    thinning: int = 8,
+    num_chains: int = 8,
+    acqf_name: str = "LogEI",
+    num_restarts: int = 4,
+    raw_samples: int = 64,
+    acq_maxiter: int = 50,
+    seed: int = 0,
+) -> SaasboResult:
+    """`objective: (q, d) -> (q,)` maximized on the unit cube.
+
+    Budgets default to half the reference's (512/256/16 single-chain) but
+    with 8 parallel chains the kept-sample count matches; pass the
+    reference values for exact-parity runs.
+    """
+    sv, shift = sobol_table(d, scramble=True, seed=seed)
+    X = draw_sobol(sv, shift, n_init)
+    Y = objective(X)
+    ub = jnp.stack([jnp.zeros(d), jnp.ones(d)])
+
+    best_curve, ml_hist = [], []
+    for it in range(iterations):
+        key, k_fit, k_acq = jax.random.split(key, 3)
+        model, stats = fit_saas_gp(
+            X, Y, k_fit,
+            num_warmup=num_warmup, num_samples=num_samples,
+            thinning=thinning, num_chains=num_chains,
+        )
+        ml_hist.append(median_lengthscales(model))
+        acqf = make_acqf(acqf_name, model, best_f=Y.max())
+        cand, _ = optimize_acqf(
+            acqf, ub, q=1, num_restarts=num_restarts,
+            raw_samples=raw_samples, key=k_acq, maxiter=acq_maxiter,
+            seed=seed * 997 + it,
+        )
+        X = jnp.concatenate([X, cand])
+        Y = jnp.concatenate([Y, objective(cand)])
+        best_curve.append(Y.max())
+    return SaasboResult(
+        X=X, Y=Y,
+        best_curve=jnp.stack(best_curve),
+        median_lengthscales=jnp.stack(ml_hist),
+    )
