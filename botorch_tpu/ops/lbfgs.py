@@ -151,29 +151,26 @@ def lbfgsb(
         d = jnp.where(bad, -st.g, d)
         dg = jnp.where(bad, -jnp.dot(st.g, st.g), dg)
 
-        # PARALLEL projected Armijo line search: evaluate the whole
-        # geometric backtracking ladder in one batched call and take the
-        # largest step passing the Armijo test. On TPU this converts up to
-        # `max_ls` SERIAL objective evaluations into one vmapped evaluation
-        # — trading cheap parallel FLOPs for sequential depth, which is
-        # what the hardware wants.
+        # Projected backtracking Armijo line search (value-only trials).
         c1 = 1e-4
-        ts = jnp.power(
-            jnp.asarray(0.5, dtype), jnp.arange(max_ls, dtype=dtype)
-        )  # 1, 1/2, 1/4, ...
-        x_trials = jax.vmap(lambda t: project(st.x + t * d))(ts)
-        f_trials = jax.vmap(fun)(x_trials)
-        armijo = f_trials <= st.f + c1 * (x_trials - st.x) @ st.g
-        ok = armijo & jnp.isfinite(f_trials)
-        # first (largest-step) passing trial; fall back to the best value
-        first_ok = jnp.argmax(ok)
-        any_ok = jnp.any(ok)
-        pick = jnp.where(any_ok, first_ok, jnp.argmin(
-            jnp.where(jnp.isfinite(f_trials), f_trials, jnp.inf)
-        ))
-        x_new = x_trials[pick]
-        f_new = f_trials[pick]
-        armijo_ok = ok[pick]
+
+        def ls_cond(carry):
+            t, f_new, x_new, it = carry
+            armijo = f_new <= st.f + c1 * jnp.dot(st.g, x_new - st.x)
+            return (~armijo) & (it < max_ls)
+
+        def ls_body(carry):
+            t, _, _, it = carry
+            t = 0.5 * t
+            x_new = project(st.x + t * d)
+            return t, fun(x_new), x_new, it + 1
+
+        t0 = jnp.asarray(1.0, dtype)
+        x_try = project(st.x + t0 * d)
+        t, f_new, x_new, ls_iters = jax.lax.while_loop(
+            ls_cond, ls_body, (t0, fun(x_try), x_try, jnp.int32(0))
+        )
+        armijo_ok = f_new <= st.f + c1 * jnp.dot(st.g, x_new - st.x)
         # Non-finite objective or failed search => lane is done (keep x).
         progressed = armijo_ok & jnp.isfinite(f_new)
 
