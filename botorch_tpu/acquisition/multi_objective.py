@@ -331,3 +331,29 @@ def make_qnehvi(
             cell_lower=jnp.asarray(lo), cell_upper=jnp.asarray(up)
         )
     return acqf
+
+
+def make_momf(
+    model,
+    ref_point,
+    q: int,
+    Y_baseline,
+    fidelity_dims: tuple,
+    cost_fn=None,
+    num_samples: int = DEFAULT_MC_SAMPLES,
+    seed: int = 0,
+):
+    """MOMF (reference `multi_objective/multi_fidelity.py:40`): qEHVI
+    divided by an (affine) fidelity cost — multi-objective multi-fidelity
+    acquisition as cost-aware hypervolume improvement."""
+    from botorch_tpu.acquisition.wrappers import (
+        CostAwareAcquisitionFunction,
+        affine_fidelity_cost,
+    )
+
+    base = make_qehvi(
+        qExpectedHypervolumeImprovement, model, ref_point, q=q,
+        Y_baseline=Y_baseline, num_samples=num_samples, seed=seed,
+    )
+    cost = cost_fn or affine_fidelity_cost(fidelity_dims)
+    return CostAwareAcquisitionFunction(acqf=base, cost_fn=cost)

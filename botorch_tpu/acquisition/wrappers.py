@@ -143,3 +143,19 @@ def affine_fidelity_cost(
         )
 
     return cost
+
+
+class DecoupledAcquisitionFunction(struct.PyTreeNode):
+    """Per-output evaluation masks for decoupled observations (reference
+    `acquisition/decoupled.py:25`): `X_evaluation_mask (q, m)` marks which
+    outputs each candidate will observe; the inner acqf's objective should
+    consume `eval_mask` to zero out unobserved outputs."""
+
+    acqf: object
+    X_evaluation_mask: Array = None  # (q, m) bool
+
+    def __call__(self, X: Array) -> Array:
+        inner = self.acqf
+        if hasattr(inner, "replace") and hasattr(inner, "eval_mask"):
+            inner = inner.replace(eval_mask=self.X_evaluation_mask)
+        return inner(X)

@@ -217,3 +217,40 @@ class AnalyticExpectedUtilityOfBestOption(struct.PyTreeNode):
         delta = (mu[0] - mu[1]) / sd
         # E[max(a,b)] = mu2 + (mu1-mu2) Phi(delta) + sd phi(delta)
         return mu[1] + (mu[0] - mu[1]) * ndtr(delta) + sd * phi(delta)
+
+
+class qExpectedUtilityOfBestOption(struct.PyTreeNode):
+    """qEUBO (reference `acquisition/preference.py:134`): MC estimate of
+    `E[max_q utility]` under the preference posterior."""
+
+    model: PairwiseGP
+    num_samples: int = struct.field(pytree_node=False, default=128)
+    seed: int = struct.field(pytree_node=False, default=0)
+
+    def __call__(self, X: Array) -> Array:
+        post = self.model.posterior(X)
+        s = post.rsample(jax.random.PRNGKey(self.seed), (self.num_samples,))
+        return jnp.mean(jnp.max(s[..., 0], axis=-1))
+
+
+class PairwiseBayesianActiveLearningByDisagreement(struct.PyTreeNode):
+    """Preference BALD (reference `acquisition/preference.py:205`): mutual
+    information of a comparison outcome with the utility posterior, for a
+    candidate pair `X (2, d)`."""
+
+    model: PairwiseGP
+    num_samples: int = struct.field(pytree_node=False, default=256)
+    seed: int = struct.field(pytree_node=False, default=0)
+
+    def __call__(self, X: Array) -> Array:
+        post = self.model.posterior(X)
+        s = post.rsample(jax.random.PRNGKey(self.seed), (self.num_samples,))
+        z = (s[..., 0, 0] - s[..., 1, 0]) / (_sqrt2 * self.model.noise)
+        p = ndtr(z)  # P(first wins | f) per sample
+        p_bar = jnp.mean(p)
+
+        def h(q):
+            q = jnp.clip(q, 1e-6, 1 - 1e-6)
+            return -(q * jnp.log(q) + (1 - q) * jnp.log(1 - q))
+
+        return h(p_bar) - jnp.mean(h(p))

@@ -164,6 +164,26 @@ def exponential_decay(x: Array, z: Array, lengthscale: Array) -> Array:
     return jnp.power(beta[..., None, None] / (s_ + beta[..., None, None]), alpha)
 
 
+def infinite_width_bnn(x: Array, z: Array, lengthscale: Array, depth: int = 3) -> Array:
+    """Infinite-width BNN (arccos/NNGP) kernel (reference
+    `models/kernels/infinite_width_bnn.py:17`): `depth` ReLU layers with
+    unit weight/bias variances, inputs scaled by ARD lengthscales."""
+    xs, zs = _scale(x, lengthscale), _scale(z, lengthscale)
+    hp = jax.lax.Precision.HIGHEST
+    Kxz = 1.0 + jnp.matmul(xs, jnp.swapaxes(zs, -1, -2), precision=hp)
+    Kxx = 1.0 + jnp.sum(jnp.square(xs), -1)
+    Kzz = 1.0 + jnp.sum(jnp.square(zs), -1)
+    for _ in range(depth):
+        norm = jnp.sqrt(Kxx[..., :, None] * Kzz[..., None, :])
+        c = jnp.clip(Kxz / norm, -1.0, 1.0)
+        theta = jnp.arccos(c)
+        # arc-cosine order-1 (ReLU) layer recursion
+        Kxz = norm / (2 * jnp.pi) * (jnp.sin(theta) + (jnp.pi - theta) * c)
+        Kxx = Kxx / 2.0
+        Kzz = Kzz / 2.0
+    return Kxz
+
+
 KERNELS = {
     "rbf": rbf,
     "matern52": matern52,
@@ -171,6 +191,7 @@ KERNELS = {
     "matern12": matern12,
     "categorical": categorical,
     "exponential_decay": exponential_decay,
+    "infinite_width_bnn": infinite_width_bnn,
 }
 
 
