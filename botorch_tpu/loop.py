@@ -167,25 +167,37 @@ def run_bo_loop(
     optimization — is one `lax.fori_loop` inside one `jit`.
     """
     capacity = capacity or (n_init + iterations * q)
-    sv, shift = sobol_table(q * d, scramble=True, seed=seed)
-    sobol = (sv, shift)
+    cache_key = (
+        objective, d, n_init, iterations, q, capacity, seed,
+        tuple(sorted(step_kwargs.items())),
+    )
+    run = _RUN_CACHE.get(cache_key)
+    if run is None:
+        sv, shift = sobol_table(q * d, scramble=True, seed=seed)
+        sobol = (sv, shift)
 
-    @jax.jit
-    def run(key):
-        state, X0 = init_state(n_init, d, capacity, seed=seed)
-        state = append_observations(state, X0, objective(X0))
+        @jax.jit
+        def run(key):
+            state, X0 = init_state(n_init, d, capacity, seed=seed)
+            state = append_observations(state, X0, objective(X0))
 
-        def body(it, carry):
-            state, key = carry
-            key, sub = jax.random.split(key)
-            cand, _ = bo_step(state, sub, sobol, q=q, **step_kwargs)
-            state = append_observations(state, cand, objective(cand))
-            return state, key
+            def body(it, carry):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                cand, _ = bo_step(state, sub, sobol, q=q, **step_kwargs)
+                state = append_observations(state, cand, objective(cand))
+                return state, key
 
-        state, _ = jax.lax.fori_loop(0, iterations, body, (state, key))
-        return state
+            state, _ = jax.lax.fori_loop(0, iterations, body, (state, key))
+            return state
 
+        _RUN_CACHE[cache_key] = run
     return run(key)
+
+
+# Compiled-run cache: re-calling `run_bo_loop` with the same configuration
+# (same objective object + static config) must NOT re-trace the whole loop.
+_RUN_CACHE: dict = {}
 
 
 def best_observed(state: BOState) -> Array:
