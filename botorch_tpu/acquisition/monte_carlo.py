@@ -204,10 +204,9 @@ class qUpperConfidenceBound(MCAcquisitionFunction):
 
     def __call__(self, X: Array) -> Array:
         X = self._with_pending(X)
+        samples, obj = self._samples_and_obj(X)
         post = self.model.posterior(X, cache=self.cache)
-        samples = post.rsample_from_base_samples(self.base_samples)
-        obj = self.objective(samples)
-        mean = self.objective(jnp.broadcast_to(post.mean, samples.shape[1:]))
+        mean = self.objective(post.mean)  # (..., q), broadcasts vs samples
         beta_prime = math.sqrt(self.beta * math.pi / 2.0)
         ucb = mean + beta_prime * jnp.abs(obj - mean)
         return _reduce(jnp.mean(jnp.max(ucb, axis=-1), axis=0))

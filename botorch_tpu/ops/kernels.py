@@ -129,6 +129,36 @@ def make_mixed(cat_dims: tuple):
     return k
 
 
+def make_linear_truncated_fidelity(fidelity_dims: tuple):
+    """Linear truncated fidelity kernel (reference
+    `models/kernels/linear_truncated_fidelity.py:21`):
+    `K = k_0(x, x') + c(s, s') k_1(x, x')` with the fidelity factor
+    `c = (1 - s)(1 - s') (1 + s s')^p`, power `p` tied to the fidelity
+    dim's lengthscale; `k_0, k_1` Matern-5/2 over the non-fidelity dims
+    with shared ARD lengthscales (the reference learns two)."""
+
+    def k(x, z, lengthscale):
+        d = x.shape[-1]
+        fm = _masked_dims(d, fidelity_dims)
+        ls_x = jnp.where(fm, 1e6, lengthscale)
+        kx = matern52(x, z, ls_x)
+        c = jnp.ones_like(kx)
+        for f in fidelity_dims:
+            p = 1.0 + 1.0 / lengthscale[..., f]
+            s1 = jnp.clip(x[..., :, f], 0.0, 1.0)
+            s2 = jnp.clip(z[..., :, f], 0.0, 1.0)
+            c = c * (
+                (1.0 - s1)[..., :, None] * (1.0 - s2)[..., None, :]
+                * jnp.power(
+                    1.0 + s1[..., :, None] * s2[..., None, :],
+                    p[..., None, None],
+                )
+            )
+        return kx * (1.0 + c)
+
+    return k
+
+
 def make_fidelity(fidelity_dims: tuple):
     """Multi-fidelity product kernel (reference
     `models/gp_regression_fidelity.py:51` `SingleTaskMultiFidelityGP` with
@@ -207,4 +237,7 @@ def kernel_fn(name: str):
     if name.startswith("fidelity:"):
         dims = tuple(int(s) for s in name.split(":", 1)[1].split(",") if s)
         return make_fidelity(dims)
+    if name.startswith("lin_trunc_fidelity:"):
+        dims = tuple(int(s) for s in name.split(":", 1)[1].split(",") if s)
+        return make_linear_truncated_fidelity(dims)
     raise ValueError(f"Unknown kernel {name!r}; have {sorted(KERNELS)}")

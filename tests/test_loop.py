@@ -89,3 +89,33 @@ def test_run_bo_loop_improves_branin():
     best = float(best_observed(state))
     # after 6 iterations should be well inside the basin (regret < 5)
     assert -best - 0.397887 < 5.0
+
+
+def test_run_bo_loop_compile_cache():
+    """Repeated identical-config runs must reuse the compiled program."""
+    from botorch_tpu import loop as loop_mod
+
+    prob = Branin(negate=True)
+    obj = lambda X: prob(unnormalize(X, prob.bounds))
+    before = len(loop_mod._RUN_CACHE)
+    cfg = dict(num_restarts=2, raw_samples=8, fit_restarts=2,
+               fit_maxiter=5, acq_maxiter=5)
+    run_bo_loop(obj, d=2, n_init=4, iterations=2,
+                key=jax.random.PRNGKey(0), **cfg)
+    mid = len(loop_mod._RUN_CACHE)
+    run_bo_loop(obj, d=2, n_init=4, iterations=2,
+                key=jax.random.PRNGKey(1), **cfg)
+    assert len(loop_mod._RUN_CACHE) == mid == before + 1
+
+
+def test_compiled_loop_qlognei():
+    prob = Branin(negate=True)
+    obj = lambda X: prob(unnormalize(X, prob.bounds))
+    state = run_bo_loop(
+        obj, d=2, n_init=6, iterations=3, key=jax.random.PRNGKey(0),
+        acqf_name="qLogNEI", mc_samples=16,
+        num_restarts=2, raw_samples=8, fit_restarts=2,
+        fit_maxiter=5, acq_maxiter=5,
+    )
+    assert int(state.n) == 9
+    assert np.isfinite(float(best_observed(state)))
