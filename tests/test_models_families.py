@@ -192,3 +192,45 @@ def test_stat_distances():
     assert float(wasserstein_gaussian(0.0, 1.0, 0.0, 1.0)) == 0.0
     assert float(hellinger_gaussian(0.0, 1.0, 0.0, 1.0)) < 1e-6
     assert float(hellinger_gaussian(0.0, 1.0, 10.0, 1.0)) > 0.99
+
+
+def test_fully_bayesian_multitask_smoke():
+    from botorch_tpu.models.fully_bayesian_multitask import (
+        fit_saas_multitask_gp,
+    )
+
+    rng = np.random.default_rng(0)
+    f = lambda x: np.sin(5 * x[:, 0])
+    X0, X1 = rng.uniform(size=(5, 2)), rng.uniform(size=(12, 2))
+    X = np.concatenate([
+        np.concatenate([X0, np.zeros((5, 1))], 1),
+        np.concatenate([X1, np.ones((12, 1))], 1),
+    ])
+    Y = np.concatenate([f(X0), f(X1) + 0.3])
+    model, stats = fit_saas_multitask_gp(
+        jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32),
+        task_feature=2, key=jax.random.PRNGKey(0),
+        num_warmup=16, num_samples=8, thinning=2, num_chains=2,
+        max_depth=4, task_rank=2,
+    )
+    assert model.batch_shape == (8,)
+    post = model.posterior(jnp.asarray(rng.uniform(size=(3, 2)), jnp.float32),
+                           task=0)
+    assert post.mean.shape == (8, 3, 1)
+    assert np.isfinite(np.asarray(post.mean)).all()
+
+
+def test_linear_truncated_fidelity_kernel():
+    rng = np.random.default_rng(0)
+    Xc = rng.uniform(size=(14, 2))
+    s = rng.uniform(size=(14, 1))
+    X = jnp.asarray(np.concatenate([Xc, s], -1), jnp.float32)
+    Y = jnp.asarray(np.sin(3 * Xc[:, 0]) + 0.2 * (1 - s[:, 0]), jnp.float32)
+    m = fit_gp(
+        make_gp(X, Y[:, None], kernel="lin_trunc_fidelity:2",
+                use_outputscale=True),
+        jax.random.PRNGKey(0), num_restarts=2, maxiter=20,
+    )
+    assert np.isfinite(float(m.mll()))
+    post = m.posterior(X[:3])
+    assert np.isfinite(np.asarray(post.mean)).all()
