@@ -213,10 +213,10 @@ def test_fully_bayesian_multitask_smoke():
         num_warmup=16, num_samples=8, thinning=2, num_chains=2,
         max_depth=4, task_rank=2,
     )
-    assert model.batch_shape == (8,)
+    assert model.batch_shape == (4,)  # (8/2 per chain)/2 thin * 2 chains
     post = model.posterior(jnp.asarray(rng.uniform(size=(3, 2)), jnp.float32),
                            task=0)
-    assert post.mean.shape == (8, 3, 1)
+    assert post.mean.shape == (4, 3, 1)
     assert np.isfinite(np.asarray(post.mean)).all()
 
 
