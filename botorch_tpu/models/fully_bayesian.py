@@ -27,6 +27,7 @@ with mean / logmeanexp (reference `utils/transforms.py:292-296`).
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 from typing import Optional
@@ -68,11 +69,15 @@ def _unpack(z: Array, d: int, infer_noise: bool):
 
 
 def make_saas_potential(
-    X: Array, Y_std: Array, Yvar_std: Optional[Array] = None
+    X: Array, Y_std: Array, Yvar_std: Optional[Array] = None,
+    mask: Optional[Array] = None,
 ):
     """Negative log joint density of the SAAS model over unconstrained z.
 
-    `Y_std`: (n,) standardized targets. Returns `(potential, z_dim)`.
+    `Y_std`: (n,) standardized targets. `mask` enables PADDED buffers
+    (identity-decoupled kernel rows, the `SingleTaskGP.mask` trick) so the
+    NUTS program compiles once for a fixed capacity even as the BO history
+    grows. Returns `(potential, z_dim, infer_noise)`.
     """
     n, d = X.shape
     infer_noise = Yvar_std is None
@@ -83,6 +88,13 @@ def make_saas_potential(
     g_os = priors_mod.Gamma(2.0, 0.15)
     g_noise = priors_mod.Gamma(0.9, 10.0)
     n_mean = priors_mod.Normal(0.0, 1.0)
+    if mask is not None:
+        mvec = mask.astype(X.dtype)
+        pair = mvec[:, None] * mvec[None, :]
+        n_valid = jnp.sum(mvec)
+    else:
+        mvec = None
+        n_valid = n
 
     def potential(z: Array) -> Array:
         (mean, outputscale, noise, noise_g, tausq, ilsq, lengthscale,
@@ -96,10 +108,13 @@ def make_saas_potential(
             noise_diag = jnp.mean(Yvar_std)
         K = outputscale * matern52(X, X, lengthscale)
         K = K + noise_diag * jnp.eye(n, dtype=K.dtype)
-        L = jnp.linalg.cholesky(add_jitter(K))
         resid = Y_std - mean
+        if mvec is not None:
+            K = K * pair + (1.0 - pair) * jnp.eye(n, dtype=K.dtype)
+            resid = resid * mvec
+        L = jnp.linalg.cholesky(add_jitter(K))
         w = solve_triangular(L, resid[:, None])[:, 0]
-        loglik = -0.5 * (jnp.dot(w, w) + chol_logdet(L) + n * _log_2pi)
+        loglik = -0.5 * (jnp.dot(w, w) + chol_logdet(L) + n_valid * _log_2pi)
         return -(loglik + lp + log_jac)
 
     return potential, z_dim, infer_noise
@@ -132,6 +147,7 @@ def fit_saas_gp(
     thinning: int = 16,
     num_chains: int = 4,
     max_depth: int = 6,
+    mask: Optional[Array] = None,
 ) -> tuple[SingleTaskGP, dict]:
     """SAASBO model fit: NUTS over the SAAS posterior, thinned draws loaded
     into an ensemble `SingleTaskGP` (reference `fit.py:335-391` +
@@ -144,24 +160,52 @@ def fit_saas_gp(
     if train_Y.ndim == 1:
         train_Y = train_Y[:, None]
     base = make_gp(train_X, train_Y, train_Yvar=train_Yvar,
-                   kernel="matern52", use_outputscale=True)
+                   kernel="matern52", use_outputscale=True, mask=mask)
     Y_std = base.Y[:, 0]
     Yvar_std = None if base.Yvar is None else base.Yvar[:, 0]
+    infer_noise = Yvar_std is None
 
-    potential, z_dim, infer_noise = make_saas_potential(
-        base.X, Y_std, Yvar_std
-    )
     k_init, k_run = jax.random.split(key)
     z0 = init_saas_chains(k_init, num_chains, base.dim, infer_noise)
-    # per-chain draws so that the THINNED total matches the reference count
     per_chain = max(num_samples // num_chains, thinning)
-    samples, stats = run_nuts(
-        potential, z0, k_run,
-        num_warmup=num_warmup, num_samples=per_chain, max_depth=max_depth,
+
+    runner = _saas_runner(
+        base.num_train, base.dim, infer_noise, mask is not None,
+        num_warmup, per_chain, max_depth,
     )
+    mask_arg = (
+        jnp.ones((base.num_train,), bool) if mask is None else mask
+    )
+    yvar_arg = (
+        jnp.zeros((base.num_train,)) if Yvar_std is None else Yvar_std
+    )
+    samples, stats = runner(base.X, Y_std, yvar_arg, mask_arg, z0, k_run)
+    z_dim = samples.shape[-1]
     samples = samples[:, ::thinning].reshape(-1, z_dim)  # (S, z_dim)
     model = load_saas_samples(samples, base)
     return model, stats
+
+
+@functools.lru_cache(maxsize=32)
+def _saas_runner(n, d, infer_noise, masked, num_warmup, per_chain, max_depth):
+    """Compile-once NUTS runner for a given (shape, budget) configuration:
+    train data / mask / chain inits are TRACED arguments, so a padded BO
+    loop reuses one compiled program for every iteration."""
+
+    @jax.jit
+    def run(X, Y_std, Yvar_std, mask, z0, key):
+        potential, _, _ = make_saas_potential(
+            X, Y_std,
+            None if infer_noise else Yvar_std,
+            mask=mask if masked else None,
+        )
+        return run_nuts(
+            potential, z0, key,
+            num_warmup=num_warmup, num_samples=per_chain,
+            max_depth=max_depth,
+        )
+
+    return run
 
 
 def load_saas_samples(z_samples: Array, base: SingleTaskGP) -> SingleTaskGP:

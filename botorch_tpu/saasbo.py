@@ -52,30 +52,41 @@ def run_saasbo(
     reference values for exact-parity runs.
     """
     sv, shift = sobol_table(d, scramble=True, seed=seed)
-    X = draw_sobol(sv, shift, n_init)
-    Y = objective(X)
+    X0 = draw_sobol(sv, shift, n_init)
     ub = jnp.stack([jnp.zeros(d), jnp.ones(d)])
+
+    # PADDED buffers: the NUTS + acquisition programs compile ONCE for the
+    # full capacity (`SingleTaskGP.mask` / masked SAAS potential), instead
+    # of recompiling as the history grows — essential on TPU where the
+    # NUTS compile is expensive.
+    capacity = n_init + iterations
+    Xb = jnp.zeros((capacity, d), jnp.float32).at[:n_init].set(X0)
+    Yb = jnp.zeros((capacity,), jnp.float32).at[:n_init].set(objective(X0))
+    n = n_init
 
     best_curve, ml_hist = [], []
     for it in range(iterations):
         key, k_fit, k_acq = jax.random.split(key, 3)
+        mask = jnp.arange(capacity) < n
         model, stats = fit_saas_gp(
-            X, Y, k_fit,
+            Xb, Yb, k_fit,
             num_warmup=num_warmup, num_samples=num_samples,
-            thinning=thinning, num_chains=num_chains,
+            thinning=thinning, num_chains=num_chains, mask=mask,
         )
         ml_hist.append(median_lengthscales(model))
-        acqf = make_acqf(acqf_name, model, best_f=Y.max())
+        best_f = jnp.max(jnp.where(mask, Yb, -jnp.inf))
+        acqf = make_acqf(acqf_name, model, best_f=best_f)
         cand, _ = optimize_acqf(
             acqf, ub, q=1, num_restarts=num_restarts,
             raw_samples=raw_samples, key=k_acq, maxiter=acq_maxiter,
-            seed=seed * 997 + it,
+            seed=seed * 997,
         )
-        X = jnp.concatenate([X, cand])
-        Y = jnp.concatenate([Y, objective(cand)])
-        best_curve.append(Y.max())
+        Xb = Xb.at[n].set(cand[0])
+        Yb = Yb.at[n].set(objective(cand)[0])
+        n += 1
+        best_curve.append(jnp.max(Yb[:n]))
     return SaasboResult(
-        X=X, Y=Y,
+        X=Xb[:n], Y=Yb[:n],
         best_curve=jnp.stack(best_curve),
         median_lengthscales=jnp.stack(ml_hist),
     )
