@@ -9,6 +9,7 @@ optimizes an ensemble-reduced acquisition.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -76,11 +77,11 @@ def run_saasbo(
         ml_hist.append(median_lengthscales(model))
         best_f = jnp.max(jnp.where(mask, Yb, -jnp.inf))
         acqf = make_acqf(acqf_name, model, best_f=best_f)
-        cand, _ = optimize_acqf(
-            acqf, ub, q=1, num_restarts=num_restarts,
-            raw_samples=raw_samples, key=k_acq, maxiter=acq_maxiter,
-            seed=seed * 997,
-        )
+        # cached jitted acquisition-optimization runner: the acqf pytree is
+        # a traced argument, so iterations share one compiled program
+        runner = _acq_runner(d, num_restarts, raw_samples, acq_maxiter,
+                             seed * 997)
+        cand, _ = runner(acqf, k_acq)
         Xb = Xb.at[n].set(cand[0])
         Yb = Yb.at[n].set(objective(cand)[0])
         n += 1
@@ -90,3 +91,17 @@ def run_saasbo(
         best_curve=jnp.stack(best_curve),
         median_lengthscales=jnp.stack(ml_hist),
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _acq_runner(d, num_restarts, raw_samples, maxiter, seed):
+    ub = jnp.stack([jnp.zeros(d), jnp.ones(d)])
+
+    @jax.jit
+    def run(acqf, key):
+        return optimize_acqf(
+            acqf, ub, q=1, num_restarts=num_restarts,
+            raw_samples=raw_samples, key=key, maxiter=maxiter, seed=seed,
+        )
+
+    return run
