@@ -357,3 +357,65 @@ def make_momf(
     )
     cost = cost_fn or affine_fidelity_cost(fidelity_dims)
     return CostAwareAcquisitionFunction(acqf=base, cost_fn=cost)
+
+
+class ExpectedHypervolumeImprovement(struct.PyTreeNode):
+    """Analytic EHVI for q = 1 under independent-output Gaussian posteriors
+    (reference `multi_objective/analytic.py:78`, [Yang2019] cell formula).
+
+    Per non-dominated cell `[l, u]` the expected improvement factorizes
+    over outputs:
+      `E[(min(f_j, u_j) - l_j)^+] = sigma (phi(a_l) - phi(a_u))
+         + (mu - l)(Phi(a_u) - Phi(a_l)) + (u - l)(1 - Phi(a_u))`
+    with `a_x = (x - mu)/sigma` — summed over cells. Valid for any m (the
+    reference's analytic version is specialized; cells here come from the
+    same decomposition machinery as qEHVI).
+    """
+
+    model: SingleTaskGP
+    cache: tuple = None
+    cell_lower: Array = None  # (C, m)
+    cell_upper: Array = None
+    ref_point: Array = None
+
+    def __call__(self, X: Array) -> Array:
+        from botorch_tpu.utils.probability import ndtr as _ndtr, phi as _phi
+
+        post = self.model.posterior(X, cache=self.cache)
+        mu = post.mean[..., 0, :]  # (m,)
+        sigma = jnp.sqrt(jnp.clip(post.variance[..., 0, :], 1e-12))
+        l, u = self.cell_lower, self.cell_upper  # (C, m)
+        a_l = (l - mu) / sigma
+        a_u = (u - mu) / sigma
+        seg = (
+            sigma * (_phi(a_l) - _phi(a_u))
+            + (mu - l) * (_ndtr(a_u) - _ndtr(a_l))
+            + (u - l) * (1.0 - _ndtr(a_u))
+        )
+        ehvi = jnp.sum(jnp.prod(jnp.maximum(seg, 0.0), axis=-1), axis=-1)
+        return jnp.mean(ehvi)  # ensemble reduce (no-op for scalars)
+
+
+def make_ehvi(model, ref_point, Y_baseline):
+    """Build the analytic EHVI from the observed front."""
+    m = model.num_outputs
+    ref_point = jnp.asarray(ref_point)
+    nd = np.asarray(is_non_dominated(jnp.asarray(Y_baseline)))
+    front = np.asarray(Y_baseline)[nd]
+    front = front[(front > np.asarray(ref_point)).all(-1)]
+    if m == 2 and front.shape[0] > 0:
+        lo, up = nondominated_hypercell_bounds_2d(
+            jnp.asarray(front), ref_point, clip_max=CLIP_MAX
+        )
+    elif front.shape[0] > 0:
+        lo_np, up_np = nondominated_hypercell_bounds_np(
+            front, np.asarray(ref_point), clip_max=CLIP_MAX
+        )
+        lo, up = jnp.asarray(lo_np, jnp.float32), jnp.asarray(up_np, jnp.float32)
+    else:
+        lo = ref_point[None, :]
+        up = jnp.full((1, m), CLIP_MAX)
+    return ExpectedHypervolumeImprovement(
+        model=model, cache=model.train_chol(),
+        cell_lower=lo, cell_upper=up, ref_point=ref_point,
+    )
