@@ -150,3 +150,36 @@ def expectation_posterior_transform(n_w: int):
         return GaussianPosterior(mean=new_mean, cov=new_cov)
 
     return transform
+
+
+def mvar_risk(n_w: int, alpha: float = 0.8):
+    """Coordinatewise multivariate value-at-risk over the perturbation set
+    (reference `multi_output_risk_measures.py:232` `MVaR`; this is the
+    independent-marginal approximation of the MVaR set — the exact
+    set-valued MVaR is a Pareto frontier of outcome vectors; its
+    scalarized workhorse is `mars_risk`)."""
+    k = int(jnp.ceil(n_w * alpha)) - 1
+
+    def obj(samples: Array) -> Array:
+        # samples: (..., q * n_w, m) -> (..., q, m)
+        m = samples.shape[-1]
+        s = samples.reshape(*samples.shape[:-2], -1, n_w, m)
+        vals = jnp.sort(s, axis=-2)  # per output over perturbations
+        return vals[..., n_w - 1 - k, :]
+
+    return obj
+
+
+def mars_risk(n_w: int, weights: Array, Y_bounds: Array, alpha: float = 0.8):
+    """MARS (reference `multi_output_risk_measures.py:535`): MVaR
+    approximated by a random Chebyshev scalarization followed by scalar
+    VaR over the perturbation set."""
+    cheb = chebyshev_scalarization(weights, Y_bounds)
+    k = int(jnp.ceil(n_w * alpha)) - 1
+
+    def obj(samples: Array) -> Array:
+        scalar = cheb(samples)  # (..., q * n_w)
+        vals = jnp.sort(_reshape_w(scalar, n_w), axis=-1)
+        return vals[..., n_w - 1 - k]
+
+    return obj

@@ -202,3 +202,38 @@ def test_infer_reference_point():
     Y = jnp.asarray([[1.0, 3.0], [2.0, 2.0], [3.0, 1.0]])
     ref = np.asarray(infer_reference_point(Y))
     assert (ref < 1.0).all()  # below the nadir
+
+
+def test_analytic_ehvi_matches_qmc():
+    from botorch_tpu.acquisition.multi_objective import make_ehvi
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(20, 2)), jnp.float32)
+    Y = jnp.stack([jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])], axis=-1)
+    ref = jnp.asarray([-1.5, -1.5])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=25)
+    ehvi = make_ehvi(model, ref, Y)
+    qehvi = make_qehvi(
+        qExpectedHypervolumeImprovement, model, ref, q=1, Y_baseline=Y,
+        num_samples=4096,
+    )
+    for pt in [[0.5, 0.5], [0.3, 0.2]]:
+        x = jnp.asarray([pt], jnp.float32)
+        a, q = float(ehvi(x)), float(qehvi(x))
+        assert abs(a - q) < 0.05 * max(a, 1e-4) + 1e-4
+
+
+def test_mvar_and_mars():
+    from botorch_tpu.acquisition.objective import mars_risk, mvar_risk
+
+    s = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 8, 2)), jnp.float32
+    )
+    mv = mvar_risk(n_w=4, alpha=0.75)(s)
+    assert mv.shape == (16, 2, 2)
+    w = jnp.asarray([0.5, 0.5])
+    yb = jnp.stack([-2 * jnp.ones(2), 2 * jnp.ones(2)])
+    ms = mars_risk(n_w=4, weights=w, Y_bounds=yb, alpha=0.75)(s)
+    assert ms.shape == (16, 2)
+    assert np.isfinite(np.asarray(ms)).all()
