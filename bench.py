@@ -86,6 +86,28 @@ def main():
     transitions = chains * (warmup + max(samples // chains, 8))
     nuts_per_s = transitions / nuts_time
 
+    # Config-5: TuRBO-style Thompson candidate throughput at n=2048.
+    from botorch_tpu.models.gp import make_gp
+    from botorch_tpu.optim.turbo import generate_turbo_candidates, turbo_init
+
+    n5, d5 = 2048, 20
+    X5 = jnp.asarray(rng.uniform(size=(n5, d5)), jnp.float32)
+    Y5 = jnp.asarray(rng.normal(size=(n5,)), jnp.float32)
+    m5 = make_gp(X5, Y5[:, None])
+    st5 = turbo_init(best_value=float(Y5.max()))
+    gen = jax.jit(
+        lambda key: generate_turbo_candidates(
+            m5, st5, X5[0], key, n_candidates=4096, q=64, num_features=512
+        )
+    )
+    jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(10):
+        out = gen(jax.random.PRNGKey(1 + i))
+    jax.block_until_ready(out)
+    cand_per_s = 64 / ((time.perf_counter() - t0) / 10)
+
     print(json.dumps({
         "metric": "bo_iters_per_s_branin_logei",
         "value": round(iters_per_s, 3),
@@ -94,6 +116,7 @@ def main():
         "final_regret_mean": round(sum(regrets) / len(regrets), 5),
         "nuts_transitions_per_s": round(nuts_per_s, 2),
         "nuts_vs_baseline": round(nuts_per_s / 8.0, 2),
+        "turbo_candidates_per_s_n2048": round(cand_per_s, 1),
         "device": str(jax.devices()[0]),
     }))
 
