@@ -1,0 +1,139 @@
+r"""One-shot hypervolume knowledge gradient (qHVKG), m = 2.
+
+Counterpart of
+`botorch/acquisition/multi_objective/hypervolume_knowledge_gradient.py:51`
+(`qHypervolumeKnowledgeGradient`): the expected increase in the
+hypervolume of the POSTERIOR-MEAN front after observing the candidates.
+
+One-shot parameterization: `X_full = [X_actual (q) | fantasy solution
+sets (nf * q_inner)]`. Forward: draw `nf` fixed fantasy observations at
+`X_actual` (per output, shared augmented Cholesky as in qKG), score
+fantasy `i` by the 2-d hypervolume of the fantasy-model posterior means at
+its own solution set, and average. The 2-d hypervolume is the
+differentiable sorted-staircase sum (`utils/multi_objective.hypervolume_2d`),
+so the whole one-shot objective optimizes with the standard multi-start
+L-BFGS. (m >= 3 requires a differentiable general-m HV — future round.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from botorch_tpu.models.gp import SingleTaskGP
+from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky
+from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
+from botorch_tpu.utils.multi_objective import hypervolume_2d
+
+Array = jax.Array
+
+
+class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
+    """One-shot qHVKG for 2-output models. Call with
+    `(q + nf * q_inner, d)`."""
+
+    model: SingleTaskGP  # m = 2 outputs
+    cache: tuple
+    base_samples: Array  # (nf, q, 2) fantasy base draws (per output)
+    ref_point: Array = None  # (2,)
+    current_hv: Array = 0.0
+    q: int = struct.field(pytree_node=False, default=1)
+    num_fantasies: int = struct.field(pytree_node=False, default=8)
+    q_inner: int = struct.field(pytree_node=False, default=8)
+
+    def get_augmented_q_batch_size(self) -> int:
+        return self.q + self.num_fantasies * self.q_inner
+
+    def extract_candidates(self, X_full: Array) -> Array:
+        return X_full[..., : self.q, :]
+
+    def __call__(self, X_full: Array) -> Array:
+        m = self.model
+        q, nf, qi = self.q, self.num_fantasies, self.q_inner
+        X_actual = X_full[:q]
+        X_sol = X_full[q:].reshape(nf, qi, -1)
+
+        # fantasy observations at X_actual (both outputs, obs noise)
+        post = m.posterior(X_actual, observation_noise=True, cache=self.cache)
+        L = post.scale_tril  # (2, q, q)
+        mean_q = post.mean  # (q, 2)
+        # Yf[i, :, o] = mean[:, o] + L_o @ eps[i, :, o]
+        Yf = mean_q + jnp.einsum(
+            "oqr,iro->iqo", L, self.base_samples
+        )  # (nf, q, 2)
+        Yf_std = (Yf - m.Y_loc) / m.Y_scale
+
+        # shared augmented Cholesky per output
+        X_aug = jnp.concatenate([m.X, X_actual], axis=0)
+        n_aug = X_aug.shape[0]
+
+        def per_output(out):
+            p = jax.tree_util.tree_map(lambda a: a[..., out], m.params)
+            p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., out, :])
+            K = m._kernel(p, X_aug, X_aug)
+            if m.Yvar is not None:
+                noise = jnp.concatenate(
+                    [m.Yvar[:, out],
+                     jnp.full((q,), jnp.mean(m.Yvar[:, out]))]
+                )
+            else:
+                noise = jnp.full((n_aug,), p.noise)
+            K = K + noise[:, None] * jnp.eye(n_aug)
+            L_aug = psd_safe_cholesky(K)
+            resid = jnp.concatenate(
+                [jnp.broadcast_to(m.Y[:, out] - p.mean, (nf, m.num_train)),
+                 Yf_std[..., out] - p.mean],
+                axis=-1,
+            )  # (nf, n_aug)
+            alpha = cholesky_solve(L_aug, resid.T).T  # (nf, n_aug)
+            # fantasy posterior means at each fantasy's solution set
+            Ks = jax.vmap(lambda Xi: m._kernel(p, X_aug, Xi))(X_sol)
+            mean = p.mean + jnp.einsum("ina,in->ia", Ks, alpha)  # (nf, qi)
+            return m.Y_loc[out] + m.Y_scale[out] * mean
+
+        means = jnp.stack([per_output(0), per_output(1)], axis=-1)  # (nf,qi,2)
+        hvs = hypervolume_2d(means, self.ref_point)  # (nf,)
+        return jnp.mean(hvs) - self.current_hv
+
+
+def make_qhvkg(
+    model: SingleTaskGP,
+    ref_point: Array,
+    Y_baseline: Optional[Array] = None,
+    q: int = 1,
+    num_fantasies: int = 8,
+    q_inner: int = 8,
+    seed: int = 0,
+) -> qHypervolumeKnowledgeGradient:
+    if model.num_outputs != 2:
+        raise ValueError("qHVKG currently supports m = 2 outputs")
+    import numpy as np
+
+    from botorch_tpu.utils.multi_objective import (
+        hypervolume,
+        is_non_dominated,
+    )
+
+    ref_point = jnp.asarray(ref_point)
+    current_hv = 0.0
+    if Y_baseline is not None:
+        front = np.asarray(Y_baseline)[
+            np.asarray(is_non_dominated(jnp.asarray(Y_baseline)))
+        ]
+        front = front[(front > np.asarray(ref_point)).all(-1)]
+        if len(front):
+            current_hv = hypervolume(front, np.asarray(ref_point))
+    z = draw_sobol_normal_samples(q * 2, num_fantasies, seed=seed)
+    return qHypervolumeKnowledgeGradient(
+        model=model,
+        cache=model.train_chol(),
+        base_samples=z.reshape(num_fantasies, q, 2),
+        ref_point=ref_point,
+        current_hv=jnp.asarray(current_hv, jnp.float32),
+        q=q,
+        num_fantasies=num_fantasies,
+        q_inner=q_inner,
+    )
