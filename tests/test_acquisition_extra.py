@@ -146,3 +146,36 @@ def test_portfolio_weights():
                             eta=0.5)
     )
     assert p[1] == p.max() and abs(p.sum() - 1) < 1e-6
+
+
+def test_qhvkg():
+    from botorch_tpu.acquisition.hypervolume_knowledge_gradient import (
+        make_qhvkg,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y2 = jnp.stack([jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])], -1)
+    model = fit_gp(make_gp(X, Y2), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    hvkg = make_qhvkg(model, jnp.asarray([-1.5, -1.5]), Y2, q=1,
+                      num_fantasies=3, q_inner=3)
+    X_full = jnp.asarray(rng.uniform(size=(10, 2)), jnp.float32)
+    v = float(hvkg(X_full))
+    g = np.asarray(jax.grad(lambda x: hvkg(x))(X_full))
+    assert np.isfinite(v) and np.isfinite(g).all()
+    assert hvkg.get_augmented_q_batch_size() == 10
+
+
+def test_bvn_against_independent_product():
+    from botorch_tpu.utils.bvn import bvn, bvnu
+
+    # r = 0: orthant probability factorizes
+    import scipy.stats as sst
+
+    for h, k in [(0.0, 0.0), (1.0, -0.5), (-2.0, 0.3)]:
+        got = float(bvnu(h, k, 0.0))
+        expect = (1 - sst.norm.cdf(h)) * (1 - sst.norm.cdf(k))
+        assert abs(got - expect) < 1e-6
+    # box probability sanity: full box = 1
+    assert abs(float(bvn(0.3, -10.0, -10.0, 10.0, 10.0)) - 1.0) < 1e-5
