@@ -225,6 +225,51 @@ KERNELS = {
 }
 
 
+
+
+def make_oak(second_order: bool = False, quad_points: int = 32):
+    """Orthogonal additive kernel (reference
+    `models/kernels/orthogonal_additive_kernel.py:20`, [Lu2022oak]):
+    per-dimension RBF components made orthogonal to constants on [0, 1]
+    via Gauss-Legendre quadrature, summed additively (optionally with
+    second-order interaction products). Unit component weights (the
+    reference learns them — noted simplification); ARD lengthscales per
+    dimension as usual.
+    """
+    import numpy as _np
+
+    gx, gw = _np.polynomial.legendre.leggauss(quad_points)
+    gx = jnp.asarray((gx + 1.0) / 2.0, jnp.float32)  # nodes on [0, 1]
+    gw = jnp.asarray(gw / 2.0, jnp.float32)
+
+    def k(x, z, lengthscale):
+        def k1(a, b, ls):
+            # 1-d RBF: a (..., n), b (..., m) -> (..., n, m)
+            d = a[..., :, None] - b[..., None, :]
+            return jnp.exp(-0.5 * jnp.square(d / ls))
+
+        d_dims = x.shape[-1]
+        total = 0.0
+        comps = []
+        for dim in range(d_dims):
+            ls = lengthscale[..., dim]
+            kd = k1(x[..., dim], z[..., dim], ls)
+            Sx = jnp.sum(gw * k1(x[..., dim], gx, ls), axis=-1)  # (..., n)
+            Sz = jnp.sum(gw * k1(z[..., dim], gx, ls), axis=-1)  # (..., m)
+            M = jnp.sum(gw[:, None] * gw[None, :] * k1(gx, gx, ls))
+            kt = kd - Sx[..., :, None] - Sz[..., None, :] + M
+            comps.append(kt)
+            total = total + kt
+        if second_order:
+            sum_sq = 0.0
+            for kt in comps:
+                sum_sq = sum_sq + kt * kt
+            total = total + 0.5 * (total * total - sum_sq)
+        return total / d_dims
+
+    return k
+
+
 def kernel_fn(name: str):
     """Look up a kernel by name. Composite kernels are encoded as
     `"mixed:<i>,<j>"` (categorical dims) or `"fidelity:<i>"` (fidelity
@@ -240,4 +285,8 @@ def kernel_fn(name: str):
     if name.startswith("lin_trunc_fidelity:"):
         dims = tuple(int(s) for s in name.split(":", 1)[1].split(",") if s)
         return make_linear_truncated_fidelity(dims)
+    if name == "oak":
+        return make_oak(second_order=False)
+    if name == "oak2":
+        return make_oak(second_order=True)
     raise ValueError(f"Unknown kernel {name!r}; have {sorted(KERNELS)}")
