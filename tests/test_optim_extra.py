@@ -179,3 +179,24 @@ def test_batched_multinomial_no_replacement():
     idx = np.asarray(batched_multinomial(key, w, 3))
     assert len(set(idx.tolist())) == 3
     assert set(idx.tolist()) <= {2, 3, 4}
+
+
+def test_linear_ess_truncated_moments():
+    import scipy.stats as sst
+
+    from botorch_tpu.utils.lin_ess import (
+        sample_linear_constrained_gaussian,
+    )
+
+    A = jnp.asarray([[-1.0, 0.0]])
+    b = jnp.asarray([-0.5])  # x0 >= 0.5
+    s = np.asarray(
+        sample_linear_constrained_gaussian(
+            A, b, jnp.asarray([1.0, 0.0]), jax.random.PRNGKey(0),
+            num_samples=2000, thinning=4, burnin=50,
+        )
+    )
+    assert (s[:, 0] >= 0.5 - 1e-4).all()
+    expect = sst.norm.pdf(0.5) / (1 - sst.norm.cdf(0.5))
+    assert abs(s[:, 0].mean() - expect) < 0.05
+    assert abs(s[:, 1].mean()) < 0.06
