@@ -179,3 +179,19 @@ def test_bvn_against_independent_product():
         assert abs(got - expect) < 1e-6
     # box probability sanity: full box = 1
     assert abs(float(bvn(0.3, -10.0, -10.0, 10.0, 10.0)) - 1.0) < 1e-5
+
+
+def test_pes_prefers_sampled_optimum_region():
+    from botorch_tpu.acquisition.predictive_entropy_search import make_pes
+
+    model, X, Y = _model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    pes = make_pes(model, bounds, jax.random.PRNGKey(1), num_optima=6,
+                   num_features=256, raw_samples=128, maxiter=15)
+    # information gain must be non-negative and finite
+    vals = [float(pes(jnp.asarray([pt], jnp.float32)))
+            for pt in ([0.31, 0.99], [0.0, 0.0])]
+    assert all(np.isfinite(v) for v in vals)
+    assert all(v > -1e-3 for v in vals)
+    # the sampled-optimum region should be at least as informative
+    assert vals[0] >= vals[1] - 0.05
