@@ -160,3 +160,80 @@ def make_mes(
         model, grid, key, num_samples=num_max_values, cache=cache
     )
     return cls(model=model, cache=cache, max_values=mv)
+
+
+class qMultiObjectiveMaxValueEntropy(struct.PyTreeNode):
+    """MESMO (reference `multi_objective/max_value_entropy_search.py:47`,
+    [Belakaria2019mesmo]): multi-objective max-value entropy as the SUM of
+    per-objective MES terms, with each objective's max-value samples drawn
+    by the Gumbel approximation over a shared grid."""
+
+    model: SingleTaskGP  # m outputs
+    cache: tuple
+    max_values: Array  # (K, m)
+
+    def __call__(self, X: Array) -> Array:
+        post = self.model.posterior(X, cache=self.cache)
+        mu = post.mean[..., 0, :]  # (m,)
+        sigma = jnp.sqrt(jnp.clip(post.variance[..., 0, :], 1e-12))
+        g = (self.max_values - mu) / sigma  # (K, m)
+        gcl = jnp.clip(g, -6.0, None)
+        ig = 0.5 * gcl * phi(gcl) / jnp.clip(ndtr(gcl), 1e-10) - log_ndtr(gcl)
+        return jnp.mean(jnp.sum(jnp.mean(ig, axis=0), axis=-1))
+
+
+def make_mesmo(
+    model: SingleTaskGP,
+    bounds: Array,
+    key: Array,
+    num_max_values: int = 16,
+    grid_size: int = 1024,
+    seed: int = 0,
+) -> qMultiObjectiveMaxValueEntropy:
+    """Build MESMO: per-objective Gumbel max-value samples over one grid."""
+    from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
+
+    d = bounds.shape[-1]
+    sv, shift = sobol_table(d, scramble=True, seed=seed)
+    grid = bounds[0] + (bounds[1] - bounds[0]) * draw_sobol(sv, shift, grid_size)
+    cache = model.train_chol()
+    post = model.posterior(grid, cache=cache)
+    mvs = []
+    for o in range(model.num_outputs):
+        mu_o = post.mean[..., o]
+        sd_o = jnp.sqrt(jnp.clip(post.variance[..., o], 1e-12))
+
+        # reuse the Gumbel machinery directly on the marginals
+        import math as _math
+
+        def log_cdf_max(y):
+            return jnp.sum(log_ndtr((y - mu_o) / sd_o))
+
+        lo = jnp.min(mu_o - 5 * sd_o)
+        hi = jnp.max(mu_o + 5 * sd_o)
+
+        def quantile(p, lo, hi):
+            target = _math.log(p)
+
+            def body(_, ab):
+                a, b = ab
+                mid = 0.5 * (a + b)
+                below = log_cdf_max(mid) < target
+                return jnp.where(below, mid, a), jnp.where(below, b, mid)
+
+            a, b = jax.lax.fori_loop(0, 40, body, (lo, hi))
+            return 0.5 * (a + b)
+
+        q25, q50, q75 = (quantile(p, lo, hi) for p in (0.25, 0.5, 0.75))
+        b_g = (q75 - q25) / (
+            _math.log(_math.log(4.0)) - _math.log(_math.log(4.0 / 3.0))
+        )
+        a_g = q50 + b_g * _math.log(_math.log(2.0))
+        u = jax.random.uniform(
+            jax.random.fold_in(key, o), (num_max_values,),
+            minval=1e-6, maxval=1 - 1e-6,
+        )
+        mvs.append(a_g - b_g * jnp.log(-jnp.log(u)))
+    return qMultiObjectiveMaxValueEntropy(
+        model=model, cache=cache, max_values=jnp.stack(mvs, axis=-1)
+    )
