@@ -181,3 +181,43 @@ def test_saas_fit_tiny_budget():
     assert ml.shape == (4,)
     post = model.posterior(X[:3])
     assert post.mean.shape == (S, 3, 1)
+
+
+@pytest.mark.slow
+def test_nuts_saas_posterior_matches_independent_sampler():
+    """Statistical parity: NUTS marginal quantiles on a tiny SAAS
+    posterior agree with a long-run random-walk Metropolis chain on the
+    SAME potential (the 'SAASBO posteriors within MC error' requirement,
+    validated against an independent sampler)."""
+    rng = np.random.default_rng(0)
+    n, d = 12, 3
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    Yv = jnp.sin(6 * X[:, 0])
+    Ys = (Yv - Yv.mean()) / Yv.std()
+    pot, z_dim, _ = make_saas_potential(X, Ys)
+    pot_j = jax.jit(pot)
+
+    z = np.r_[0.0, 0.0, np.log(0.01), np.log(0.1), np.zeros(d)].astype(
+        np.float32
+    )
+    lp = -float(pot_j(jnp.asarray(z)))
+    kept = []
+    for t in range(20000):
+        prop = z + 0.25 * rng.normal(size=z_dim).astype(np.float32)
+        lp_p = -float(pot_j(jnp.asarray(prop)))
+        if np.log(rng.uniform()) < lp_p - lp:
+            z, lp = prop, lp_p
+        if t > 4000 and t % 8 == 0:
+            kept.append(z.copy())
+    rwm = np.asarray(kept)
+    rwm_log_ls = -0.5 * (rwm[:, 3:4] + rwm[:, 4:4 + d])
+
+    model, _ = fit_saas_gp(
+        X, Yv, jax.random.PRNGKey(0),
+        num_warmup=128, num_samples=256, thinning=2, num_chains=4,
+    )
+    nuts_log_ls = np.log(np.asarray(model.params.lengthscale[:, 0, :]))
+    for j in range(d):
+        qn = np.quantile(nuts_log_ls[:, j], [0.25, 0.5, 0.75])
+        qr = np.quantile(rwm_log_ls[:, j], [0.25, 0.5, 0.75])
+        np.testing.assert_allclose(qn, qr, atol=0.35)
