@@ -50,7 +50,7 @@ def main():
     # Timed runs.
     times = []
     regrets = []
-    for rep in range(3):
+    for rep in range(2):
         t0 = time.perf_counter()
         state = run_bo_loop(obj, d=2, n_init=10, iterations=iters,
                             key=jax.random.PRNGKey(rep + 1), **cfg)
