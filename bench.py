@@ -20,11 +20,6 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent XLA compilation cache: repeated bench runs (and the driver's)
-# skip the multi-minute TPU compiles of the fused BO-loop/NUTS programs.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
 
 def main():
     from botorch_tpu.loop import best_observed, run_bo_loop
