@@ -15,6 +15,3 @@ import jax
 
 # The axon TPU plugin ignores JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache across test sessions.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
