@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+import functools
+
 from botorch_tpu.fit import fit_gp
 from botorch_tpu.models.gp import SingleTaskGP, make_gp
 from botorch_tpu.sampling.sobol import draw_sobol
@@ -193,10 +195,10 @@ def run_turbo(
             ls = None
         best_idx = jnp.argmax(jnp.where(mask, Yb, -jnp.inf))
         center = Xb[best_idx]
-        cand = generate_turbo_candidates(
-            model, state, center, k_gen, n_candidates=n_candidates, q=q,
-            lengthscale_override=ls,
-        )
+        # cached jitted generation: model/state/center are traced pytrees,
+        # so every iteration reuses one compiled program (exact-GP path)
+        gen = _gen_runner(n_candidates, q)
+        cand = gen(model, state, center, k_gen, ls)
         y_new = objective(cand)
         Xb = jax.lax.dynamic_update_slice(Xb, cand, (n, 0))
         Yb = jax.lax.dynamic_update_slice(Yb, y_new, (n,))
@@ -205,3 +207,15 @@ def run_turbo(
         if bool(state.restart_triggered):
             state = turbo_init(best_value=jnp.max(Yb[:n]))
     return Xb[:n], Yb[:n]
+
+
+@functools.lru_cache(maxsize=16)
+def _gen_runner(n_candidates, q):
+    @jax.jit
+    def gen(model, state, center, key, ls):
+        return generate_turbo_candidates(
+            model, state, center, key, n_candidates=n_candidates, q=q,
+            lengthscale_override=ls,
+        )
+
+    return gen
