@@ -237,3 +237,68 @@ def test_mvar_and_mars():
     ms = mars_risk(n_w=4, weights=w, Y_bounds=yb, alpha=0.75)(s)
     assert ms.shape == (16, 2)
     assert np.isfinite(np.asarray(ms)).all()
+
+
+def test_pfes_truncated_entropy_matches_monte_carlo():
+    # Entropy of a Gaussian truncated to the dominated staircase: the
+    # closed form must match direct MC estimation of -E[log p_trunc].
+    from botorch_tpu.acquisition.pareto_frontier_entropy_search import (
+        _staircase_cells_2d,
+        _truncated_union_entropy,
+    )
+
+    front = jnp.asarray([[1.0, 3.0], [2.0, 2.0], [3.0, 1.0]], jnp.float32)
+    l1, u1, u2 = _staircase_cells_2d(front, 5)
+    mu = jnp.asarray([1.5, 1.5])
+    sigma = jnp.asarray([1.0, 1.2])
+    H, logZ = _truncated_union_entropy(mu, sigma, l1, u1, u2)
+
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(400_000, 2)) * np.asarray(sigma) + np.asarray(mu)
+    f = np.asarray(front)
+    dominated = np.zeros(len(y), bool)
+    for j in range(len(f)):
+        dominated |= (y[:, 0] <= f[j, 0]) & (y[:, 1] <= f[j, 1])
+    Z_mc = dominated.mean()
+    assert abs(float(jnp.exp(logZ)) - Z_mc) < 3e-3
+    yd = y[dominated]
+    logp = (
+        -0.5 * np.sum(((yd - np.asarray(mu)) / np.asarray(sigma)) ** 2, -1)
+        - np.log(2 * np.pi * float(sigma[0]) * float(sigma[1]))
+        - np.log(Z_mc)
+    )
+    H_mc = -logp.mean()
+    assert abs(float(H) - H_mc) < 5e-3
+    # gradients of the closed form are finite and nonzero
+    g = jax.grad(
+        lambda m: _truncated_union_entropy(m, sigma, l1, u1, u2)[0]
+    )(mu)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 1e-3
+
+
+def test_pfes_values_and_gradients():
+    from botorch_tpu.acquisition.pareto_frontier_entropy_search import make_pfes
+    from botorch_tpu.optim.optimize import optimize_acqf
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(15, 2)), jnp.float32)
+    Y = jnp.stack([jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])], axis=-1)
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=25)
+    ub = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    pfes = make_pfes(model, ub, jax.random.PRNGKey(1), num_fronts=6,
+                     grid_size=256)
+    pts = jnp.asarray(rng.uniform(size=(8, 1, 2)), jnp.float32)
+    vals = jax.vmap(pfes)(pts)
+    grads = jax.vmap(jax.grad(lambda x: pfes(x)))(pts)
+    assert np.isfinite(np.asarray(vals)).all()
+    assert np.isfinite(np.asarray(grads)).all()
+    # information gain is nonnegative and nonzero somewhere
+    assert float(vals.min()) >= -1e-4
+    assert float(vals.max()) > 0.05
+    assert float(jnp.abs(grads).max()) > 0.1
+    cand, val = optimize_acqf(
+        pfes, ub, q=1, num_restarts=4, raw_samples=32,
+        key=jax.random.PRNGKey(2), maxiter=30,
+    )
+    assert float(val) >= float(vals.max()) - 1e-4
