@@ -186,3 +186,114 @@ class TestMVNXPB:
         batched = jax.jit(jax.vmap(mvnxpb))(Ss, bs)
         single = [float(mvnxpb(Ss[i], bs[i])) for i in range(4)]
         np.testing.assert_allclose(np.asarray(batched), single, rtol=1e-5)
+
+
+class TestTruncatedMVNAndUSN:
+    """`utils/truncated_mvn.py` vs closed forms and rejection sampling
+    (reference: `utils/probability/truncated_multivariate_normal.py:21`,
+    `unified_skew_normal.py:28`)."""
+
+    def test_tmvn_density_normalizes_and_samples(self):
+        from botorch_tpu.utils.truncated_mvn import (
+            TruncatedMultivariateNormal,
+        )
+
+        rng = np.random.default_rng(0)
+        d = 2
+        A = rng.normal(size=(d, 6))
+        S = A @ A.T / 6
+        mean = rng.normal(size=d)
+        lb = mean + rng.uniform(-2, -0.5, d) * np.sqrt(np.diag(S))
+        ub = mean + rng.uniform(0.5, 2, d) * np.sqrt(np.diag(S))
+        tm = TruncatedMultivariateNormal(
+            jnp.asarray(mean, jnp.float32), jnp.asarray(S, jnp.float32),
+            jnp.asarray(np.stack([lb, ub], -1), jnp.float32),
+        )
+        xs = np.linspace(lb[0], ub[0], 150)
+        ys = np.linspace(lb[1], ub[1], 150)
+        XX, YY = np.meshgrid(xs, ys)
+        pts = jnp.asarray(np.stack([XX.ravel(), YY.ravel()], -1), jnp.float32)
+        integ = float(jnp.sum(jnp.exp(jax.vmap(tm.log_prob)(pts))))
+        integ *= (xs[1] - xs[0]) * (ys[1] - ys[0])
+        assert abs(integ - 1.0) < 0.02
+        samp = np.asarray(
+            tm.rsample(jax.random.PRNGKey(0), num_samples=2000, thinning=4,
+                       burnin=64)
+        )
+        raw = rng.multivariate_normal(mean, S, size=100000)
+        keep = raw[np.all((raw >= lb) & (raw <= ub), axis=1)]
+        assert np.abs(samp.mean(0) - keep.mean(0)).max() < 0.05
+        assert np.abs(samp.std(0) - keep.std(0)).max() < 0.05
+
+    def test_usn_1d_exact_density(self):
+        from scipy import stats
+
+        from botorch_tpu.utils.truncated_mvn import (
+            TruncatedMultivariateNormal,
+            UnifiedSkewNormal,
+        )
+
+        r = 0.7
+        tm = TruncatedMultivariateNormal(
+            jnp.zeros(1), jnp.ones((1, 1)),
+            jnp.asarray([[0.3, 1.8]], jnp.float32),
+        )
+        usn = UnifiedSkewNormal(
+            trunc=tm, gauss_mean=jnp.zeros(1), gauss_cov=jnp.ones((1, 1)),
+            cross_covariance=jnp.asarray([[r]], jnp.float32),
+        )
+        xs = np.linspace(-5, 5, 401)
+        f = np.exp(np.asarray(
+            usn.log_prob(jnp.asarray(xs[:, None], jnp.float32)), np.float64
+        ))
+        s = np.sqrt(1 - r**2)
+        num = stats.norm.cdf((1.8 - r * xs) / s) - stats.norm.cdf(
+            (0.3 - r * xs) / s
+        )
+        den = stats.norm.cdf(1.8) - stats.norm.cdf(0.3)
+        exact = stats.norm.pdf(xs) * num / den
+        assert np.abs(f - exact).max() < 1e-5
+        assert abs(np.trapezoid(f, xs) - 1.0) < 1e-3
+        g = jax.grad(lambda x: usn.log_prob(x[None])[0])(
+            jnp.asarray([0.5], jnp.float32)
+        )
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_usn_multidim_sampling_matches_rejection(self):
+        from botorch_tpu.utils.truncated_mvn import (
+            TruncatedMultivariateNormal,
+            UnifiedSkewNormal,
+        )
+
+        rng = np.random.default_rng(0)
+        dz, dx = 2, 2
+        J = rng.normal(size=(dz + dx, 2 * (dz + dx)))
+        K = J @ J.T / (2 * (dz + dx))
+        Kzz, Kzx, Kxx = K[:dz, :dz], K[:dz, dz:], K[dz:, dz:]
+        lb = -0.2 * np.sqrt(np.diag(Kzz))
+        ub = 1.5 * np.sqrt(np.diag(Kzz))
+        tm = TruncatedMultivariateNormal(
+            jnp.zeros(dz), jnp.asarray(Kzz, jnp.float32),
+            jnp.asarray(np.stack([lb, ub], -1), jnp.float32),
+        )
+        usn = UnifiedSkewNormal(
+            trunc=tm, gauss_mean=jnp.zeros(dx),
+            gauss_cov=jnp.asarray(Kxx, jnp.float32),
+            cross_covariance=jnp.asarray(Kzx, jnp.float32),
+        )
+        su = np.asarray(
+            usn.rsample(jax.random.PRNGKey(2), num_samples=4000, thinning=4,
+                        burnin=64)
+        )
+        raw = rng.multivariate_normal(np.zeros(dz + dx), K, size=200000)
+        keep = raw[
+            np.all((raw[:, :dz] >= lb) & (raw[:, :dz] <= ub), axis=1)
+        ][:, dz:]
+        assert np.abs(su.mean(0) - keep.mean(0)).max() < 0.05
+        assert np.abs(np.cov(su.T) - np.cov(keep.T)).max() < 0.05
+        # density normalizes on a grid
+        xs = np.linspace(-4, 4, 100)
+        XX, YY = np.meshgrid(xs, xs)
+        pts = jnp.asarray(np.stack([XX.ravel(), YY.ravel()], -1), jnp.float32)
+        integ = float(jnp.sum(jnp.exp(usn.log_prob(pts)))) * (xs[1] - xs[0]) ** 2
+        assert abs(integ - 1.0) < 0.02
