@@ -234,3 +234,44 @@ def test_linear_truncated_fidelity_kernel():
     assert np.isfinite(float(m.mll()))
     post = m.posterior(X[:3])
     assert np.isfinite(np.asarray(post.mean)).all()
+
+
+def test_lcem_transfer_and_embeddings():
+    """LCE-M (`contextual_multioutput.py:33`): embedding-based task
+    covariance learns cross-context correlation and transfers strength
+    from a data-rich context to a sparse one."""
+    from botorch_tpu.models.contextual_multioutput import (
+        fit_lcem_gp,
+        make_lcem_gp,
+    )
+
+    rng = np.random.default_rng(0)
+    f = lambda x: np.sin(5 * x[:, 0])
+    X0 = rng.uniform(size=(5, 1))  # sparse context
+    X1 = rng.uniform(size=(25, 1))  # dense context, shifted output
+    X = np.concatenate([
+        np.concatenate([X0, np.zeros((5, 1))], 1),
+        np.concatenate([X1, np.ones((25, 1))], 1),
+    ]).astype(np.float32)
+    Y = np.concatenate([f(X0), f(X1) + 0.4]).astype(np.float32)
+    model = fit_lcem_gp(
+        make_lcem_gp(jnp.asarray(X), jnp.asarray(Y), task_feature=1,
+                     num_tasks=2, embedding_dim=2),
+        maxiter=80,
+    )
+    tc = np.asarray(model.task_covar)
+    assert tc.shape == (2, 2)
+    assert tc[0, 1] / np.sqrt(tc[0, 0] * tc[1, 1]) > 0.5
+    Xt = jnp.asarray(rng.uniform(size=(30, 1)), jnp.float32)
+    post = model.posterior(Xt, task=0)
+    rmse = float(jnp.sqrt(jnp.mean(
+        (post.mean[:, 0] - jnp.asarray(f(np.asarray(Xt)))) ** 2
+    )))
+    assert rmse < 0.15
+    # given continuous context features concatenate into the embedding
+    feats = jnp.asarray(rng.normal(size=(2, 3)), jnp.float32)
+    m2 = make_lcem_gp(jnp.asarray(X), jnp.asarray(Y), task_feature=1,
+                      num_tasks=2, embedding_dim=1,
+                      context_emb_feature=feats)
+    assert m2.task_embeddings().shape == (2, 4)
+    assert np.isfinite(float(m2.mll()))
