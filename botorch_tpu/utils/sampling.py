@@ -111,6 +111,55 @@ def sample_polytope(
     return xs[n_burnin::thinning][:n]
 
 
+def sample_polytope_delaunay(
+    A: Array,
+    b: Array,
+    key: Array,
+    n: int = 1,
+    interior_point: Optional[np.ndarray] = None,
+) -> Array:
+    """Exact i.i.d. uniform samples from the bounded polytope
+    `{x : A x <= b}` via Delaunay triangulation (reference
+    `utils/sampling.py:707`, `DelaunayPolytopeSampler`).
+
+    Setup (host-side scipy, one-off): enumerate vertices by halfspace
+    intersection around an interior point, triangulate the hull, and
+    compute simplex volumes. Sampling (device-side): volume-weighted
+    simplex choice + uniform barycentric weights. Unlike hit-and-run
+    this is exact and embarrassingly parallel, but vertex enumeration
+    is exponential in the worst case — moderate dimensions only.
+    """
+    from scipy.spatial import Delaunay, HalfspaceIntersection
+
+    A_np = np.asarray(A, np.float64)
+    b_np = np.asarray(b, np.float64).reshape(-1)
+    d = A_np.shape[-1]
+    x0 = (
+        np.asarray(interior_point, np.float64).reshape(-1)
+        if interior_point is not None
+        else find_interior_point(A_np, b_np)
+    )
+    if d == 1:
+        # degenerate: a segment; qhull needs d >= 2
+        t = b_np / A_np[:, 0]
+        hi = np.min(t[A_np[:, 0] > 0])
+        lo = np.max(t[A_np[:, 0] < 0])
+        u = jax.random.uniform(key, (n, 1))
+        return lo + (hi - lo) * u
+    hs = HalfspaceIntersection(np.c_[A_np, -b_np], x0)
+    verts = hs.intersections
+    tri = Delaunay(verts)
+    simplices = verts[tri.simplices]  # (S, d+1, d)
+    edges = simplices[:, 1:, :] - simplices[:, :1, :]
+    vols = np.abs(np.linalg.det(edges))  # proportional to volume
+    k_s, k_w = jax.random.split(key)
+    probs = jnp.asarray(vols / vols.sum(), jnp.float32)
+    idx = jax.random.choice(k_s, probs.shape[0], (n,), p=probs)
+    w = sample_simplex(k_w, d + 1, n)  # (n, d+1) barycentric
+    chosen = jnp.asarray(simplices, jnp.float32)[idx]  # (n, d+1, d)
+    return jnp.sum(w[..., None] * chosen, axis=1)
+
+
 def get_polytope_samples(
     key: Array,
     n: int,

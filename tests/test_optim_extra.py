@@ -200,3 +200,32 @@ def test_linear_ess_truncated_moments():
     expect = sst.norm.pdf(0.5) / (1 - sst.norm.cdf(0.5))
     assert abs(s[:, 0].mean() - expect) < 0.05
     assert abs(s[:, 1].mean()) < 0.06
+
+
+def test_delaunay_polytope_sampler_uniformity():
+    """`sample_polytope_delaunay` (reference `utils/sampling.py:707`):
+    exact uniform draws — moments match closed forms."""
+    from botorch_tpu.utils.sampling import sample_polytope_delaunay
+
+    # triangle x,y >= 0, x + y <= 1: mean 1/3, E[x^2] = 1/6
+    A = jnp.asarray([[-1.0, 0.0], [0.0, -1.0], [1.0, 1.0]])
+    b = jnp.asarray([0.0, 0.0, 1.0])
+    s = np.asarray(sample_polytope_delaunay(A, b, jax.random.PRNGKey(0),
+                                            n=8000))
+    assert np.all(s @ np.asarray(A).T <= np.asarray(b) + 1e-6)
+    assert np.abs(s.mean(0) - 1 / 3).max() < 0.02
+    assert abs((s[:, 0] ** 2).mean() - 1 / 6) < 0.01
+    # 3d cube: var 1/12 per axis
+    eye = np.eye(3)
+    A3 = jnp.asarray(np.concatenate([eye, -eye]), jnp.float32)
+    b3 = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    s3 = np.asarray(sample_polytope_delaunay(A3, b3, jax.random.PRNGKey(1),
+                                             n=8000))
+    assert np.abs(s3.var(0) - 1 / 12).max() < 0.01
+    # 1d segment fallback
+    A1 = jnp.asarray([[1.0], [-1.0]])
+    b1 = jnp.asarray([2.0, 1.0])
+    s1 = np.asarray(sample_polytope_delaunay(A1, b1, jax.random.PRNGKey(2),
+                                             n=4000))
+    assert s1.min() >= -1.0 and s1.max() <= 2.0
+    assert abs(s1.mean() - 0.5) < 0.1
