@@ -275,3 +275,60 @@ def test_lcem_transfer_and_embeddings():
                       context_emb_feature=feats)
     assert m2.task_embeddings().shape == (2, 4)
     assert np.isfinite(float(m2.mll()))
+
+
+def test_kronecker_mtgp_matches_dense():
+    """`KroneckerMultiTaskGP` (reference `multitask.py:394`): eigenbasis
+    MLL and posterior equal the dense `kron(Kx, Kt)` computation."""
+    import math
+
+    from botorch_tpu.models.multitask import (
+        fit_kronecker_mtgp,
+        make_kronecker_mtgp,
+    )
+
+    rng = np.random.default_rng(0)
+    n, T, d = 15, 3, 2
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    Y = jnp.stack(
+        [jnp.sin(3 * X[:, 0]) + 0.3 * t for t in range(T)], -1
+    ) + 0.02 * jnp.asarray(rng.normal(size=(n, T)), jnp.float32)
+    m = make_kronecker_mtgp(X, Y)
+
+    Kx = np.asarray(m._Kx(X, X)) + 1e-5 * np.eye(n)
+    Kt = np.asarray(m.task_covar) + 1e-6 * np.eye(T)
+    Kn = np.kron(Kx, Kt) + float(m.noise) * np.eye(n * T)
+    resid = np.asarray(m.Y - m.mean_const).reshape(-1)  # task-fastest
+    L = np.linalg.cholesky(Kn)
+    z = np.linalg.solve(L, resid)
+    mll_dense = -0.5 * (
+        z @ z + 2 * np.sum(np.log(np.diag(L))) + n * T * math.log(2 * math.pi)
+    )
+    assert abs(float(m.mll()) - mll_dense) < 1e-3
+
+    q = 4
+    Xq = jnp.asarray(rng.uniform(size=(q, d)), jnp.float32)
+    post = m.posterior(Xq)
+    Ks_full = np.kron(np.asarray(m._Kx(X, Xq)), Kt)
+    Kss_full = np.kron(np.asarray(m._Kx(Xq, Xq)), Kt)
+    alpha = np.linalg.solve(Kn, resid)
+    mean_dense = (Ks_full.T @ alpha).reshape(q, T) + float(m.mean_const)
+    cov_dense = Kss_full - Ks_full.T @ np.linalg.solve(Kn, Ks_full)
+    mean_ours = (np.asarray(post.mean) - float(m.Y_loc)) / float(m.Y_scale)
+    np.testing.assert_allclose(mean_ours, mean_dense, atol=1e-5)
+    cov_ours = np.asarray(post.cov) / float(m.Y_scale) ** 2
+    for t in range(T):
+        idx = [i * T + t for i in range(q)]
+        np.testing.assert_allclose(
+            cov_ours[t], cov_dense[np.ix_(idx, idx)], atol=1e-5
+        )
+
+    mf = fit_kronecker_mtgp(m, maxiter=50)
+    assert float(mf.mll()) > float(m.mll())
+    Xt = jnp.asarray(rng.uniform(size=(25, d)), jnp.float32)
+    pt = mf.posterior(Xt)
+    true = np.stack(
+        [np.sin(3 * np.asarray(Xt[:, 0])) + 0.3 * t for t in range(T)], -1
+    )
+    rmse = float(np.sqrt(np.mean((np.asarray(pt.mean) - true) ** 2)))
+    assert rmse < 0.1
