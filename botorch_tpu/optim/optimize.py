@@ -138,6 +138,7 @@ def optimize_acqf(
     shard_fn=None,
     X_best: Optional[Array] = None,
     inequality_constraints: Optional[list] = None,
+    nonlinear_inequality_constraints: Optional[list] = None,
     constraint_penalty: float = 1e3,
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
@@ -152,6 +153,13 @@ def optimize_acqf(
             Enforced by polytope-sampled ICs + a smooth quadratic penalty
             (replacing the reference's SLSQP path); final candidates are
             feasibility-checked.
+        nonlinear_inequality_constraints: list of callables or
+            `(callable, intra_point)` tuples, meaning `g(x) >= 0`
+            (the reference's convention, `optim/optimize.py`). With
+            `intra_point=True` (default) `g` maps one point `(d,) ->
+            scalar` and applies to every candidate; otherwise `g` maps
+            the joint `(q, d) -> scalar`. Enforced by the same smooth
+            quadratic penalty; jit-compatible (no SLSQP).
 
     Returns:
         `(candidates (q, d), value)` — or, with `return_full`, the per-
@@ -174,6 +182,23 @@ def optimize_acqf(
             X_raw = pts.reshape(raw_samples, q, d)
             vals = jax.lax.map(acqf, X_raw)
             ics = initialize_q_batch(key, X_raw, vals, num_restarts)
+        elif nonlinear_inequality_constraints:
+            key, k_raw = jax.random.split(key)
+            X_raw = bounds[0] + (bounds[1] - bounds[0]) * jax.random.uniform(
+                k_raw, (raw_samples, q, d)
+            )
+            vals = jax.lax.map(acqf, X_raw)
+            pen = jnp.zeros(raw_samples)
+            for con in nonlinear_inequality_constraints:
+                g, intra = con if isinstance(con, tuple) else (con, True)
+                gv = (
+                    jax.vmap(jax.vmap(g))(X_raw) if intra
+                    else jax.vmap(g)(X_raw)[:, None]
+                )
+                pen = pen + jnp.sum(jnp.square(jnp.minimum(gv, 0.0)), -1)
+            ics = initialize_q_batch(
+                key, X_raw, vals - constraint_penalty * pen, num_restarts
+            )
         else:
             ics = gen_batch_initial_conditions(
                 acqf, bounds, q, num_restarts, raw_samples, key, seed=seed,
@@ -183,14 +208,18 @@ def optimize_acqf(
         ics = initial_conditions
         num_restarts = ics.shape[0]
 
-    if inequality_constraints:
+    if inequality_constraints or nonlinear_inequality_constraints:
         def _violation(Xq):
             total = 0.0
-            for idx, coef, rhs in inequality_constraints:
+            for idx, coef, rhs in (inequality_constraints or ()):
                 lhs = jnp.sum(
                     Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1
                 )
                 total = total + jnp.sum(jnp.square(jnp.maximum(rhs - lhs, 0.0)))
+            for con in (nonlinear_inequality_constraints or ()):
+                g, intra = con if isinstance(con, tuple) else (con, True)
+                gv = jax.vmap(g)(Xq) if intra else g(Xq)
+                total = total + jnp.sum(jnp.square(jnp.minimum(gv, 0.0)))
             return total
 
         neg_fun = lambda v: -acqf(v.reshape(q, d)) + constraint_penalty * _violation(

@@ -72,3 +72,28 @@ def test_optimize_acqf_discrete():
     all_vals = np.asarray(jax.vmap(lambda c: quad_acqf(c[None]))(choices))
     np.testing.assert_allclose(np.asarray(vals), np.sort(all_vals)[-3:][::-1],
                                rtol=1e-6)
+
+
+def test_nonlinear_inequality_constraints():
+    """Nonlinear `g(x) >= 0` constraints via smooth quadratic penalty:
+    candidates land on the analytic constrained optimum."""
+    acqf = lambda X: -jnp.sum((X - 0.8) ** 2)
+    g = lambda x: 0.5 - jnp.sum(x**2)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    cand, _ = optimize_acqf(
+        acqf, bounds, q=1, num_restarts=8, raw_samples=64,
+        key=jax.random.PRNGKey(0), maxiter=60,
+        nonlinear_inequality_constraints=[g],
+    )
+    x = np.asarray(cand[0])
+    # constrained optimum is (0.5, 0.5) on the circle boundary
+    assert np.sum(x**2) <= 0.5 + 5e-3
+    assert np.abs(x - 0.5).max() < 0.02
+    # inter-point: joint constraint over the whole q-batch
+    g2 = lambda Xq: 1.2 - jnp.sum(Xq)
+    cand2, _ = optimize_acqf(
+        lambda X: -jnp.sum((X - 0.9) ** 2), bounds, q=2,
+        num_restarts=8, raw_samples=64, key=jax.random.PRNGKey(1),
+        maxiter=60, nonlinear_inequality_constraints=[(g2, False)],
+    )
+    assert float(jnp.sum(cand2)) <= 1.2 + 5e-3
