@@ -1,0 +1,114 @@
+r"""MC samplers: the reference's sampler objects as thin functional
+wrappers over base-sample generation.
+
+Counterpart of `botorch/sampling/normal.py:134,169`
+(`IIDNormalSampler`, `SobolQMCNormalSampler`),
+`stochastic_samplers.py:20,46` (`ForkedRNGSampler`, `StochasticSampler`)
+and `list_sampler.py:21` (`ListSampler`). In the TPU-native design the
+SAA contract is carried by explicit base-sample arrays (drawn once,
+closed over by jitted acquisition programs — see
+`acquisition/monte_carlo.py`), so a "sampler" here is just a recipe for
+producing base samples matched to a posterior's
+`base_sample_shape`, then pushing them through
+`rsample_from_base_samples`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+class IIDNormalSampler(struct.PyTreeNode):
+    """i.i.d. standard-normal base samples (reference `normal.py:134`)."""
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+    seed: int = struct.field(pytree_node=False, default=0)
+
+    def base_samples(self, shape: tuple) -> Array:
+        return jax.random.normal(
+            jax.random.PRNGKey(self.seed), (*self.sample_shape, *shape)
+        )
+
+    def __call__(self, posterior) -> Array:
+        return posterior.rsample_from_base_samples(
+            self.base_samples(posterior.base_sample_shape)
+        )
+
+
+class SobolQMCNormalSampler(struct.PyTreeNode):
+    """Scrambled-Sobol qMC normal base samples (reference
+    `normal.py:169`): low-discrepancy over the flattened event dims,
+    i.i.d. across none — the variance-reduction default for MC
+    acquisition functions."""
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+    seed: int = struct.field(pytree_node=False, default=0)
+
+    def base_samples(self, shape: tuple) -> Array:
+        from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
+
+        n = math.prod(self.sample_shape)
+        d = math.prod(shape)
+        z = draw_sobol_normal_samples(d=d, n=n, seed=self.seed)
+        return z.reshape(*self.sample_shape, *shape)
+
+    def __call__(self, posterior) -> Array:
+        return posterior.rsample_from_base_samples(
+            self.base_samples(posterior.base_sample_shape)
+        )
+
+
+class StochasticSampler(struct.PyTreeNode):
+    """Fresh randomness per call (reference `stochastic_samplers.py:46`)
+    — for stochastic-gradient acquisition optimization. Pass `key` to
+    control it; otherwise an internal counter-free default key is used
+    (NOT fixed across calls in eager mode)."""
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+
+    def __call__(self, posterior, key: Optional[Array] = None) -> Array:
+        if key is None:
+            key = jax.random.PRNGKey(
+                jax.random.bits(jax.random.PRNGKey(0), (), "uint32")
+            )  # deterministic fallback; supply a key for real use
+        return posterior.rsample(key, self.sample_shape)
+
+
+class ForkedRNGSampler(struct.PyTreeNode):
+    """Seed-forked fresh draws (reference `stochastic_samplers.py:20`):
+    same seed -> same samples, but not an SAA pathway."""
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+    seed: int = struct.field(pytree_node=False, default=0)
+
+    def __call__(self, posterior) -> Array:
+        return posterior.rsample(
+            jax.random.PRNGKey(self.seed), self.sample_shape
+        )
+
+
+class ListSampler(struct.PyTreeNode):
+    """One sampler per posterior in a list (reference
+    `list_sampler.py:21`), for `ModelListGP`-style posteriors."""
+
+    samplers: tuple = struct.field(pytree_node=False, default=())
+
+    def __call__(self, posteriors: Sequence) -> list:
+        return [s(p) for s, p in zip(self.samplers, posteriors)]
+
+
+def get_sampler(posterior, sample_shape: tuple, seed: int = 0):
+    """Default sampler choice (reference `sampling/get_sampler.py`):
+    Sobol qMC when the base-sample dimension is within the Sobol table,
+    i.i.d. otherwise."""
+    d = math.prod(posterior.base_sample_shape)
+    if d <= 1111:  # scipy Joe-Kuo table width
+        return SobolQMCNormalSampler(sample_shape=sample_shape, seed=seed)
+    return IIDNormalSampler(sample_shape=sample_shape, seed=seed)

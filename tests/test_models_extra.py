@@ -221,3 +221,83 @@ def test_nuts_saas_posterior_matches_independent_sampler():
         qn = np.quantile(nuts_log_ls[:, j], [0.25, 0.5, 0.75])
         qr = np.quantile(rwm_log_ls[:, j], [0.25, 0.5, 0.75])
         np.testing.assert_allclose(qn, qr, atol=0.35)
+
+
+def test_deterministic_models():
+    """`models/deterministic.py` (reference `deterministic.py:59-200`)."""
+    from botorch_tpu.models.deterministic import (
+        AffineDeterministicModel,
+        GenericDeterministicModel,
+        PosteriorMeanModel,
+        make_fixed_single_sample_model,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+
+    gm = GenericDeterministicModel(
+        f=lambda X: jnp.sum(X, -1, keepdims=True), num_outputs=1
+    )
+    p = gm.posterior(X[:3])
+    np.testing.assert_allclose(
+        np.asarray(p.mean[:, 0]), np.asarray(X[:3].sum(-1)), rtol=1e-6
+    )
+    assert float(p.variance.max()) == 0.0
+
+    am = AffineDeterministicModel(
+        a=jnp.asarray([[1.0], [2.0]]), b=jnp.asarray([0.5])
+    )
+    np.testing.assert_allclose(
+        np.asarray(am.posterior(X[:2]).mean[:, 0]),
+        np.asarray(X[:2, 0] + 2 * X[:2, 1] + 0.5), rtol=1e-6,
+    )
+
+    pm = PosteriorMeanModel(model=model)
+    assert float(pm.posterior(X[:3]).variance.max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(pm.posterior(X[:3]).mean),
+        np.asarray(model.posterior(X[:3]).mean), rtol=1e-6,
+    )
+
+    fs = make_fixed_single_sample_model(model, jax.random.PRNGKey(1))
+    assert bool(jnp.allclose(fs.posterior(X[:3]).mean,
+                             fs.posterior(X[:3]).mean))
+
+
+def test_mc_samplers():
+    """`sampling/samplers.py`: base-sample recipes; qMC beats iid on
+    moment accuracy (reference `sampling/normal.py:134,169`)."""
+    from botorch_tpu.sampling.samplers import (
+        ForkedRNGSampler,
+        IIDNormalSampler,
+        ListSampler,
+        SobolQMCNormalSampler,
+        get_sampler,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    post = model.posterior(X[:4])
+
+    s_iid = IIDNormalSampler(sample_shape=(2048,), seed=0)(post)
+    s_qmc = SobolQMCNormalSampler(sample_shape=(2048,), seed=0)(post)
+    assert s_iid.shape == s_qmc.shape == (2048, 4, 1)
+    err_iid = float(jnp.abs(s_iid.mean(0) - post.mean).max())
+    err_qmc = float(jnp.abs(s_qmc.mean(0) - post.mean).max())
+    assert err_qmc < err_iid
+    assert err_qmc < 1e-4
+    assert float(jnp.abs(s_qmc.var(0) - post.variance).max()) < 1e-4
+
+    f = ForkedRNGSampler(sample_shape=(8,), seed=3)
+    assert bool(jnp.allclose(f(post), f(post)))
+    ls = ListSampler(samplers=(IIDNormalSampler((8,)),
+                               SobolQMCNormalSampler((8,))))
+    outs = ls([post, post])
+    assert all(o.shape == (8, 4, 1) for o in outs)
+    assert type(get_sampler(post, (64,))).__name__ == "SobolQMCNormalSampler"
