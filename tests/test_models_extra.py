@@ -301,3 +301,20 @@ def test_mc_samplers():
     outs = ls([post, post])
     assert all(o.shape == (8, 4, 1) for o in outs)
     assert type(get_sampler(post, (64,))).__name__ == "SobolQMCNormalSampler"
+
+
+def test_transformed_posterior_lognormal_moments():
+    """`posteriors/transformed.py` (reference `transformed.py:16`): MC
+    moments of the exp push-forward match the lognormal closed forms."""
+    from botorch_tpu.posteriors.transformed import exp_transformed
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    tp = exp_transformed(model.posterior(X[:4]))
+    s = tp.rsample(jax.random.PRNGKey(0), (100000,))
+    assert float(jnp.abs(s.mean(0) - tp.mean).max()) < 1e-4
+    assert float(jnp.abs(s.var(0) - tp.variance).max()) < 1e-4
+    assert tp.q == 4 and tp.num_outputs == 1
