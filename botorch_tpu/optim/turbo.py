@@ -219,3 +219,94 @@ def _gen_runner(n_candidates, q):
         )
 
     return gen
+
+
+_TURBO_RUN_CACHE: dict = {}
+
+
+def run_turbo_compiled(
+    objective,
+    d: int,
+    n_init: int,
+    iterations: int,
+    key: Array,
+    q: int = 1,
+    n_candidates: int = 2048,
+    capacity: Optional[int] = None,
+    fit_restarts: int = 2,
+    fit_maxiter: int = 50,
+    seed: int = 0,
+    num_features: int = 512,
+):
+    """Fully-compiled TuRBO-1 run (exact-GP path): init design, every
+    fit, candidate generation, trust-region update, and in-graph restart
+    are one `lax.fori_loop` inside one `jit` — a single device dispatch
+    for the whole run (the host-driven `run_turbo` dispatches per
+    iteration, which dominates wall-clock on TPU).
+
+    Same semantics as `run_turbo(model_type="exact")`: restarts reset the
+    trust region (data is kept, as the padded masked GP refits on
+    everything). Returns `(X (n, d), Y (n,))`.
+    """
+    capacity = capacity or (n_init + iterations * q)
+    cache_key = (
+        objective, d, n_init, iterations, q, n_candidates, capacity,
+        fit_restarts, fit_maxiter, seed, num_features,
+    )
+    run = _TURBO_RUN_CACHE.get(cache_key)
+    if run is None:
+        from botorch_tpu.sampling.sobol import sobol_table
+
+        sv, shift = sobol_table(d, scramble=True, seed=seed)
+
+        @jax.jit
+        def run(key):
+            X0 = draw_sobol(sv, shift, n_init)
+            Xb = jnp.zeros((capacity, d), jnp.float32).at[:n_init].set(X0)
+            Yb = jnp.full((capacity,), -jnp.inf, jnp.float32).at[:n_init].set(
+                objective(X0)
+            )
+            state0 = turbo_init(best_value=jnp.max(Yb[:n_init]))
+
+            def body(it, carry):
+                Xb, Yb, state, key = carry
+                key, k_fit, k_gen = jax.random.split(key, 3)
+                n = n_init + it * q
+                mask = jnp.arange(capacity) < n
+                Ym = jnp.where(mask, Yb, 0.0)  # padded entries are inert
+                model = fit_gp(
+                    make_gp(Xb, Ym[:, None], mask=mask), k_fit,
+                    num_restarts=fit_restarts, maxiter=fit_maxiter,
+                )
+                center = Xb[jnp.argmax(jnp.where(mask, Yb, -jnp.inf))]
+                cand = generate_turbo_candidates(
+                    model, state, center, k_gen,
+                    n_candidates=n_candidates, q=q,
+                    num_features=num_features,
+                )
+                y_new = objective(cand)
+                Xb = jax.lax.dynamic_update_slice(Xb, cand, (n, 0))
+                Yb = jax.lax.dynamic_update_slice(Yb, y_new, (n,))
+                state = turbo_update(state, y_new)
+                state = jax.lax.cond(
+                    state.restart_triggered,
+                    lambda s: turbo_init(
+                        best_value=jnp.max(
+                            jnp.where(jnp.arange(capacity) < n + q, Yb,
+                                      -jnp.inf)
+                        )
+                    ),
+                    lambda s: s,
+                    state,
+                )
+                return Xb, Yb, state, key
+
+            Xb, Yb, _, _ = jax.lax.fori_loop(
+                0, iterations, body, (Xb, Yb, state0, key)
+            )
+            return Xb, Yb
+
+        _TURBO_RUN_CACHE[cache_key] = run
+    Xb, Yb = run(key)
+    n = n_init + iterations * q
+    return Xb[:n], Yb[:n]

@@ -195,3 +195,28 @@ def test_pes_prefers_sampled_optimum_region():
     assert all(v > -1e-3 for v in vals)
     # the sampled-optimum region should be at least as informative
     assert vals[0] >= vals[1] - 0.05
+
+
+def test_turbo_compiled_loop_matches_host_loop():
+    """`run_turbo_compiled`: one-jit TuRBO run reaches host-loop quality
+    (single device dispatch; in-graph trust-region restarts)."""
+    from botorch_tpu.optim.turbo import run_turbo, run_turbo_compiled
+    from botorch_tpu.test_functions.synthetic import Ackley
+    from botorch_tpu.utils.transforms import unnormalize
+
+    prob = Ackley(dim=4, negate=True)
+    obj = lambda X: prob(unnormalize(X, prob.bounds))
+    X, Y = run_turbo_compiled(
+        obj, d=4, n_init=10, iterations=15, key=jax.random.PRNGKey(0),
+        q=2, n_candidates=256, fit_maxiter=25,
+    )
+    assert X.shape == (40, 4) and Y.shape == (40,)
+    assert np.isfinite(np.asarray(Y)).all()
+    # improves materially over the initial design
+    assert float(Y[10:].max()) > float(Y[:10].max())
+    Xh, Yh = run_turbo(
+        obj, d=4, n_init=10, iterations=15, key=jax.random.PRNGKey(0),
+        q=2, n_candidates=256, fit_maxiter=25,
+    )
+    # same-ballpark final quality as the host-driven loop
+    assert float(Y.max()) > float(Yh.max()) - 2.0
