@@ -112,6 +112,37 @@ class LogProbabilityOfImprovement(AnalyticAcquisitionFunction):
         return reduce_ensemble(log_ndtr(u if self.maximize else -u), log=True)
 
 
+class qAnalyticProbabilityOfImprovement(AnalyticAcquisitionFunction):
+    """Exact joint probability that a q-batch improves on `best_f`
+    (reference `analytic.py:227`, `qAnalyticProbabilityOfImprovement`):
+
+        `qPI(X) = 1 - P(f(x_1) <= best_f, ..., f(x_q) <= best_f)`
+
+    with the joint Gaussian box probability evaluated by the
+    bivariate-conditioning solver (`utils/mvnxpb.py`) — no Monte Carlo."""
+
+    best_f: Array = 0.0
+
+    def __call__(self, X: Array) -> Array:
+        from botorch_tpu.utils.mvnxpb import mvnxpb
+
+        post = self.model.posterior(X, cache=self.cache)
+        mu = post.mean[..., 0]  # (..., q)
+        cov = post.cov[..., 0, :, :]  # (..., q, q)
+        sgn = 1.0 if self.maximize else -1.0
+        q = mu.shape[-1]
+
+        def one(mu1, cov1):
+            ub = sgn * (self.best_f - sgn * mu1)
+            bounds = jnp.stack([jnp.full((q,), -jnp.inf), ub], -1)
+            return jnp.clip(-jnp.expm1(mvnxpb(cov1, bounds)), 0.0, 1.0)
+
+        f = one
+        for _ in range(mu.ndim - 1):
+            f = jax.vmap(f)
+        return reduce_ensemble(f(mu, cov))
+
+
 class UpperConfidenceBound(AnalyticAcquisitionFunction):
     """`UCB(x) = mu + sqrt(beta) * sigma` (reference `analytic.py:745`)."""
 
@@ -228,6 +259,7 @@ def make_acqf(name: str, model: SingleTaskGP, **kwargs):
         "LogEI": LogExpectedImprovement,
         "PI": ProbabilityOfImprovement,
         "LogPI": LogProbabilityOfImprovement,
+        "qAnalyticPI": qAnalyticProbabilityOfImprovement,
         "UCB": UpperConfidenceBound,
         "PosteriorMean": PosteriorMean,
         "PosteriorStandardDeviation": PosteriorStandardDeviation,

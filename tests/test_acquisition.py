@@ -160,3 +160,29 @@ def test_constrained_mc():
     feas = float(qlog(jnp.asarray([[0.1, 0.5]], jnp.float32)))   # x0 small => c<0
     infeas = float(qlog(jnp.asarray([[0.95, 0.5]], jnp.float32)))
     assert feas > infeas
+
+
+def test_q_analytic_pi_matches_mc_and_univariate():
+    """`qAnalyticProbabilityOfImprovement` (reference `analytic.py:227`)
+    via the MVNXPB joint box probability: equals univariate PI at q=1
+    and Monte Carlo at q=3."""
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(14, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1]) + 0.05 * jnp.asarray(
+        rng.normal(size=(14, 1)), jnp.float32
+    )
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=25)
+    best = float(Y.max())
+    qpi = make_acqf("qAnalyticPI", model, best_f=best)
+    pi = make_acqf("PI", model, best_f=best)
+    for pt in [[0.5, 0.3], [0.1, 0.5]]:
+        x1 = jnp.asarray([pt], jnp.float32)
+        assert abs(float(qpi(x1)) - float(pi(x1))) < 1e-5
+    Xq = jnp.asarray([[0.5, 0.3], [0.52, 0.32], [0.1, 0.5]], jnp.float32)
+    v = float(qpi(Xq))
+    s = model.posterior(Xq).rsample(jax.random.PRNGKey(1), (200000,))[..., 0]
+    mc = float(jnp.mean(jnp.any(s > best, axis=-1)))
+    assert abs(v - mc) < 0.05 * mc + 1e-3
+    g = jax.grad(lambda x: qpi(x))(Xq)
+    assert np.isfinite(np.asarray(g)).all()
