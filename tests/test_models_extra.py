@@ -318,3 +318,38 @@ def test_transformed_posterior_lognormal_moments():
     assert float(jnp.abs(s.mean(0) - tp.mean).max()) < 1e-4
     assert float(jnp.abs(s.var(0) - tp.variance).max()) < 1e-4
     assert tp.q == 4 and tp.num_outputs == 1
+
+
+def test_gaussian_mixture_posterior_helpers():
+    """`posteriors/fully_bayesian.py` (reference `fully_bayesian.py:82`):
+    mixture moments and bisection quantiles match Monte Carlo over the
+    SAAS ensemble."""
+    from botorch_tpu.posteriors.fully_bayesian import (
+        mixture_covariance,
+        mixture_mean,
+        mixture_quantile,
+        mixture_variance,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(20, 4)), jnp.float32)
+    Y = jnp.sin(3 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=20),
+                                                 jnp.float32)
+    m, _ = fit_saas_gp(X, Y, jax.random.PRNGKey(0), num_warmup=128,
+                       num_samples=64, thinning=8, num_chains=4)
+    Xq = jnp.asarray(rng.uniform(size=(5, 4)), jnp.float32)
+    post = m.posterior(Xq)
+    mm, mv = mixture_mean(post), mixture_variance(post)
+    s = post.rsample(jax.random.PRNGKey(1), (4000,))
+    s = s.reshape(-1, *s.shape[-2:])
+    assert float(jnp.abs(s.mean(0) - mm).max()) < 0.02
+    assert float(jnp.abs(s.var(0) - mv).max()) < 0.02
+    for p in (0.1, 0.5, 0.9):
+        qv = mixture_quantile(post, p)
+        emp = jnp.quantile(s, p, axis=0)
+        assert float(jnp.abs(emp - qv).max()) < 0.05
+    mc = mixture_covariance(post)
+    np.testing.assert_allclose(
+        np.swapaxes(np.diagonal(np.asarray(mc), axis1=-2, axis2=-1), -1, -2),
+        np.asarray(mv), rtol=1e-5, atol=1e-6,
+    )
