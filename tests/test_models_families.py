@@ -332,3 +332,57 @@ def test_kronecker_mtgp_matches_dense():
     )
     rmse = float(np.sqrt(np.mean((np.asarray(pt.mean) - true) ** 2)))
     assert rmse < 0.1
+
+
+def test_hogp_kaxis_matches_dense():
+    """k-axis HOGP (`HigherOrderGPKAxis`): per-axis Kronecker eigen
+    algebra equals dense kron(Kx, K1, K2) MLL and posterior moments."""
+    import math
+
+    from botorch_tpu.models.higher_order_gp import (
+        fit_hogp_kaxis,
+        make_hogp_kaxis,
+    )
+
+    rng = np.random.default_rng(0)
+    n, o1, o2, d = 10, 3, 4, 2
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    t1 = np.linspace(0, 1, o1)
+    t2 = np.linspace(0, 1, o2)
+    Y = (np.sin(3 * np.asarray(X[:, 0]))[:, None, None]
+         * np.cos(2 * t1)[None, :, None] * (1 + t2)[None, None, :])
+    Y = jnp.asarray(Y + 0.02 * rng.normal(size=Y.shape), jnp.float32)
+    m = make_hogp_kaxis(X, Y)
+
+    Kx = np.asarray(m._Kx(X, X)) + 1e-5 * np.eye(n)
+    K1 = np.asarray(m._Ko(m.latents1, m.raw_latent_ls1))
+    K2 = np.asarray(m._Ko(m.latents2, m.raw_latent_ls2))
+    K = np.kron(np.kron(Kx, K1), K2) + float(jnp.exp(m.raw_noise)) * np.eye(
+        n * o1 * o2
+    )
+    resid = np.asarray(m.Y).reshape(-1)
+    L = np.linalg.cholesky(K)
+    z = np.linalg.solve(L, resid)
+    mll_dense = -0.5 * (
+        z @ z + 2 * np.sum(np.log(np.diag(L)))
+        + n * o1 * o2 * math.log(2 * math.pi)
+    )
+    assert abs(float(m.mll()) - mll_dense) < 1e-3
+
+    q = 3
+    Xq = jnp.asarray(rng.uniform(size=(q, d)), jnp.float32)
+    post = m.posterior(Xq)
+    Ks = np.kron(np.kron(np.asarray(m._Kx(X, Xq)), K1), K2)
+    Kss = np.kron(np.kron(np.asarray(m._Kx(Xq, Xq)), K1), K2)
+    alpha = np.linalg.solve(K, resid)
+    mean_dense = (Ks.T @ alpha).reshape(q, o1 * o2)
+    var_dense = (
+        np.diag(Kss) - np.sum(Ks * np.linalg.solve(K, Ks), axis=0)
+    ).reshape(q, o1 * o2)
+    mean_ours = (np.asarray(post.mean) - float(m.Y_loc)) / float(m.Y_scale)
+    var_ours = np.asarray(post.variance) / float(m.Y_scale) ** 2
+    np.testing.assert_allclose(mean_ours, mean_dense, atol=1e-5)
+    np.testing.assert_allclose(var_ours, var_dense, atol=1e-5)
+
+    mf = fit_hogp_kaxis(m, maxiter=40)
+    assert float(mf.mll()) > float(m.mll())
