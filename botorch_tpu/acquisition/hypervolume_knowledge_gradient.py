@@ -1,4 +1,4 @@
-r"""One-shot hypervolume knowledge gradient (qHVKG), m = 2.
+r"""One-shot hypervolume knowledge gradient (qHVKG), any m.
 
 Counterpart of
 `botorch/acquisition/multi_objective/hypervolume_knowledge_gradient.py:51`
@@ -9,10 +9,11 @@ One-shot parameterization: `X_full = [X_actual (q) | fantasy solution
 sets (nf * q_inner)]`. Forward: draw `nf` fixed fantasy observations at
 `X_actual` (per output, shared augmented Cholesky as in qKG), score
 fantasy `i` by the 2-d hypervolume of the fantasy-model posterior means at
-its own solution set, and average. The 2-d hypervolume is the
-differentiable sorted-staircase sum (`utils/multi_objective.hypervolume_2d`),
-so the whole one-shot objective optimizes with the standard multi-start
-L-BFGS. (m >= 3 requires a differentiable general-m HV — future round.)
+its own solution set, and average. The hypervolume is differentiable:
+the sorted-staircase sum for m = 2
+(`utils/multi_objective.hypervolume_2d`) and exact subset
+inclusion-exclusion for m >= 3 (`hypervolume_incl_excl`), so the whole
+one-shot objective optimizes with the standard multi-start L-BFGS.
 """
 
 from __future__ import annotations
@@ -26,19 +27,22 @@ from flax import struct
 from botorch_tpu.models.gp import SingleTaskGP
 from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky
 from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
-from botorch_tpu.utils.multi_objective import hypervolume_2d
+from botorch_tpu.utils.multi_objective import (
+    hypervolume_2d,
+    hypervolume_incl_excl,
+)
 
 Array = jax.Array
 
 
 class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
-    """One-shot qHVKG for 2-output models. Call with
+    """One-shot qHVKG for any number of outputs. Call with
     `(q + nf * q_inner, d)`."""
 
-    model: SingleTaskGP  # m = 2 outputs
+    model: SingleTaskGP  # m outputs
     cache: tuple
-    base_samples: Array  # (nf, q, 2) fantasy base draws (per output)
-    ref_point: Array = None  # (2,)
+    base_samples: Array  # (nf, q, m) fantasy base draws (per output)
+    ref_point: Array = None  # (m,)
     current_hv: Array = 0.0
     q: int = struct.field(pytree_node=False, default=1)
     num_fantasies: int = struct.field(pytree_node=False, default=8)
@@ -56,14 +60,14 @@ class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
         X_actual = X_full[:q]
         X_sol = X_full[q:].reshape(nf, qi, -1)
 
-        # fantasy observations at X_actual (both outputs, obs noise)
+        # fantasy observations at X_actual (all outputs, obs noise)
         post = m.posterior(X_actual, observation_noise=True, cache=self.cache)
-        L = post.scale_tril  # (2, q, q)
-        mean_q = post.mean  # (q, 2)
+        L = post.scale_tril  # (m, q, q)
+        mean_q = post.mean  # (q, m)
         # Yf[i, :, o] = mean[:, o] + L_o @ eps[i, :, o]
         Yf = mean_q + jnp.einsum(
             "oqr,iro->iqo", L, self.base_samples
-        )  # (nf, q, 2)
+        )  # (nf, q, m)
         Yf_std = (Yf - m.Y_loc) / m.Y_scale
 
         # shared augmented Cholesky per output
@@ -94,8 +98,14 @@ class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
             mean = p.mean + jnp.einsum("ina,in->ia", Ks, alpha)  # (nf, qi)
             return m.Y_loc[out] + m.Y_scale[out] * mean
 
-        means = jnp.stack([per_output(0), per_output(1)], axis=-1)  # (nf,qi,2)
-        hvs = hypervolume_2d(means, self.ref_point)  # (nf,)
+        n_out = m.num_outputs
+        means = jnp.stack(
+            [per_output(o) for o in range(n_out)], axis=-1
+        )  # (nf, qi, n_out)
+        if n_out == 2:
+            hvs = hypervolume_2d(means, self.ref_point)  # (nf,)
+        else:
+            hvs = hypervolume_incl_excl(means, self.ref_point)
         return jnp.mean(hvs) - self.current_hv
 
 
@@ -108,8 +118,6 @@ def make_qhvkg(
     q_inner: int = 8,
     seed: int = 0,
 ) -> qHypervolumeKnowledgeGradient:
-    if model.num_outputs != 2:
-        raise ValueError("qHVKG currently supports m = 2 outputs")
     import numpy as np
 
     from botorch_tpu.utils.multi_objective import (
@@ -126,11 +134,12 @@ def make_qhvkg(
         front = front[(front > np.asarray(ref_point)).all(-1)]
         if len(front):
             current_hv = hypervolume(front, np.asarray(ref_point))
-    z = draw_sobol_normal_samples(q * 2, num_fantasies, seed=seed)
+    m_out = model.num_outputs
+    z = draw_sobol_normal_samples(q * m_out, num_fantasies, seed=seed)
     return qHypervolumeKnowledgeGradient(
         model=model,
         cache=model.train_chol(),
-        base_samples=z.reshape(num_fantasies, q, 2),
+        base_samples=z.reshape(num_fantasies, q, m_out),
         ref_point=ref_point,
         current_hv=jnp.asarray(current_hv, jnp.float32),
         q=q,

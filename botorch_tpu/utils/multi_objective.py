@@ -289,3 +289,37 @@ def hypervolume(pareto_Y, ref_point) -> float:
     if Y.shape[-1] == 2:
         return float(hypervolume_2d(jnp.asarray(Y), jnp.asarray(ref_point)))
     return dominated_hypervolume_np(Y, np.asarray(ref_point))
+
+
+def hypervolume_incl_excl(Y: Array, ref_point: Array) -> Array:
+    """Exact DIFFERENTIABLE dominated hypervolume of `Y (..., q, m)` wrt
+    `ref_point (m,)` for any `m`, by inclusion-exclusion over the
+    `2^q - 1` non-empty subsets:
+
+        `HV = sum_S (-1)^{|S|+1} prod_j (min_{i in S} y_ij - ref_j)^+`
+
+    Static shapes, gradients flow through min/clip — the general-m
+    counterpart of the sorted-staircase `hypervolume_2d` (use that for
+    m = 2; this is exponential in q, fine for q <= ~12). Reference
+    computes the same quantity non-differentiably via box decompositions
+    (`utils/multi_objective/hypervolume.py:152`)."""
+    import itertools as _it
+
+    q = Y.shape[-2]
+    masks = []
+    signs = []
+    for r in range(1, q + 1):
+        for comb in _it.combinations(range(q), r):
+            row = np.zeros(q, bool)
+            row[list(comb)] = True
+            masks.append(row)
+            signs.append((-1.0) ** (r + 1))
+    masks = jnp.asarray(np.stack(masks))  # (S, q)
+    signs = jnp.asarray(np.asarray(signs, np.float32))  # (S,)
+    big = 1e10
+    Ym = jnp.where(
+        masks[:, :, None], Y[..., None, :, :], big
+    )  # (..., S, q, m)
+    mins = jnp.min(Ym, axis=-2)  # (..., S, m)
+    vols = jnp.prod(jnp.clip(mins - ref_point, 0.0), axis=-1)  # (..., S)
+    return jnp.sum(signs * vols, axis=-1)

@@ -302,3 +302,55 @@ def test_pfes_values_and_gradients():
         key=jax.random.PRNGKey(2), maxiter=30,
     )
     assert float(val) >= float(vals.max()) - 1e-4
+
+
+def test_hypervolume_incl_excl_matches_exact():
+    """Differentiable general-m HV equals the exact decomposition-based
+    hypervolume, with finite-difference-correct gradients."""
+    from botorch_tpu.utils.multi_objective import hypervolume_incl_excl
+
+    rng = np.random.default_rng(0)
+    for m, q in [(2, 5), (3, 6), (4, 4)]:
+        Y = jnp.asarray(rng.uniform(0.2, 1.0, size=(q, m)), jnp.float32)
+        hv = float(hypervolume_incl_excl(Y, jnp.zeros(m)))
+        front = np.asarray(Y)[np.asarray(is_non_dominated(Y))]
+        exact = hypervolume(front, np.zeros(m))
+        assert abs(hv - exact) < 1e-5
+    Y = jnp.asarray(rng.uniform(0.2, 1.0, size=(5, 3)), jnp.float32)
+    g = jax.grad(lambda y: hypervolume_incl_excl(y, jnp.zeros(3)))(Y)
+    t = 1e-3
+    fd = (
+        float(hypervolume_incl_excl(Y.at[2, 1].add(t), jnp.zeros(3)))
+        - float(hypervolume_incl_excl(Y.at[2, 1].add(-t), jnp.zeros(3)))
+    ) / (2 * t)
+    assert abs(fd - float(g[2, 1])) < 1e-3
+
+
+def test_qhvkg_three_objectives():
+    """qHVKG for m = 3 via the inclusion-exclusion hypervolume: finite
+    gradients and positive optimized expected HV gain."""
+    from botorch_tpu.acquisition.hypervolume_knowledge_gradient import (
+        make_qhvkg,
+    )
+    from botorch_tpu.optim.optimize import optimize_acqf
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(16, 2)), jnp.float32)
+    Y = jnp.stack([
+        jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1]),
+        jnp.sin(2 * (X[:, 0] + X[:, 1])),
+    ], -1)
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=25)
+    ref = jnp.asarray([-1.2, -1.2, -1.2])
+    hvkg = make_qhvkg(model, ref, Y_baseline=Y, q=1, num_fantasies=4,
+                      q_inner=6)
+    na = hvkg.get_augmented_q_batch_size()
+    Xf = jnp.asarray(rng.uniform(size=(na, 2)), jnp.float32)
+    g = jax.grad(lambda x: hvkg(x))(Xf)
+    assert np.isfinite(np.asarray(g)).all()
+    ub = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    cand, val = optimize_acqf(hvkg, ub, q=na, num_restarts=4, raw_samples=24,
+                              key=jax.random.PRNGKey(1), maxiter=30)
+    assert float(val) > 0.0  # positive expected hypervolume gain
+    assert hvkg.extract_candidates(cand).shape == (1, 2)
