@@ -1,4 +1,4 @@
-r"""Pareto-frontier entropy search (PFES), m = 2.
+r"""Pareto-frontier entropy search (PFES), any m.
 
 The proper multi-objective entropy search (reference family:
 `botorch/acquisition/multi_objective/joint_entropy_search.py:39,256` and
@@ -9,8 +9,10 @@ Construction:
   1. sample Pareto frontiers `F*_k` from joint pathwise (Matheron) draws
      of both outputs over a Sobol grid;
   2. conditioned on `F*`, any function value must lie in the DOMINATED
-     region `D(F*) = {y : exists f* >= y}` — for m = 2 a staircase union
-     of disjoint boxes with `-inf` lower corners;
+     region `D(F*) = {y : exists f* >= y}` — a disjoint union of boxes:
+     the 2-d staircase, or the general-m [Lacour17] dominated
+     partitioning (`utils/multi_objective.dominated_hypercell_bounds_np`)
+     with a `-inf` (sentinel) reference;
   3. the entropy of an independent-output Gaussian truncated to that
      union has the exact closed form
         `H = log Z + (1/Z) sum_c w_c sum_j [ 1/2 log(2 pi sigma_j^2)
@@ -30,7 +32,10 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
-from botorch_tpu.utils.multi_objective import is_non_dominated
+from botorch_tpu.utils.multi_objective import (
+    dominated_hypercell_bounds_np,
+    is_non_dominated,
+)
 from botorch_tpu.utils.probability import ndtr, phi
 
 Array = jax.Array
@@ -96,28 +101,47 @@ def _truncated_union_entropy(mu, sigma, left1, upper1, upper2):
     return H, jnp.log(Z)
 
 
+def _truncated_union_entropy_cells(mu, sigma, lower, upper):
+    """General-m closed-form entropy of `N(mu, diag(sigma^2))` truncated
+    to a disjoint box union `(C, m)` (same construction as the 2-d
+    staircase case; sentinel `-1e8` bounds act as `-inf`). Returns
+    `(H, log Z)`."""
+    a = jnp.clip((lower - mu) / sigma, -12.0, 12.0)
+    b = jnp.clip((upper - mu) / sigma, -12.0, 12.0)
+    Zc = jnp.clip(ndtr(b) - ndtr(a), 0.0)  # (C, m)
+    w = jnp.prod(Zc, axis=-1)  # (C,)
+    Z = jnp.clip(jnp.sum(w), 1e-30)
+    tiny = 1e-10
+    Zc_safe = jnp.where(Zc > tiny, Zc, 1.0)
+    t = jnp.where(
+        Zc > tiny, (a * phi(a) - b * phi(b)) / Zc_safe, 0.0
+    )
+    per_cell = jnp.sum(
+        _half_log_2pi + jnp.log(sigma) + 0.5 * (1.0 + t), axis=-1
+    )
+    H = jnp.log(Z) + jnp.sum(jnp.where(w > tiny, w * per_cell, 0.0)) / Z
+    return H, jnp.log(Z)
+
+
 class qParetoFrontierEntropySearch(struct.PyTreeNode):
     """PFES for q = 1, m = 2. Built by `make_pfes`."""
 
     model: SingleTaskGP
     cache: tuple
-    cell_left1: Array  # (K, C)
-    cell_upper1: Array  # (K, C)
-    cell_upper2: Array  # (K, C)
+    cell_lower: Array  # (K, C, m)
+    cell_upper: Array  # (K, C, m)
 
     def __call__(self, X: Array) -> Array:
         post = self.model.posterior(X, cache=self.cache)
-        mu = post.mean[..., 0, :]  # (2,)
+        mu = post.mean[..., 0, :]  # (m,)
         sigma = jnp.sqrt(jnp.clip(post.variance[..., 0, :], 1e-12))
         h0 = jnp.sum(_half_log_2pi_e + jnp.log(sigma))
 
-        def per_front(l1, u1, u2):
-            H, _ = _truncated_union_entropy(mu, sigma, l1, u1, u2)
+        def per_front(lo, up):
+            H, _ = _truncated_union_entropy_cells(mu, sigma, lo, up)
             return H
 
-        hks = jax.vmap(per_front)(
-            self.cell_left1, self.cell_upper1, self.cell_upper2
-        )
+        hks = jax.vmap(per_front)(self.cell_lower, self.cell_upper)
         return h0 - jnp.mean(hks)
 
 
@@ -137,35 +161,48 @@ def make_pfes(
     from botorch_tpu.sampling.pathwise import draw_matheron_paths
     from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
 
-    if model.num_outputs != 2:
-        raise ValueError("PFES currently supports m = 2")
+    m_out = model.num_outputs
     d = bounds.shape[-1]
     sv, shift = sobol_table(d, scramble=True, seed=int(key[-1]) & 0x7FFFFFFF)
     grid = bounds[0] + (bounds[1] - bounds[0]) * draw_sobol(sv, shift, grid_size)
 
     ml = batched_to_model_list(model)
-    k1, k2 = jax.random.split(key)
-    paths0 = draw_matheron_paths(ml.models[0], k1, num_fronts, num_features)
-    paths1 = draw_matheron_paths(ml.models[1], k2, num_fronts, num_features)
-    Y0 = np.asarray(paths0(grid))  # (K, grid)
-    Y1 = np.asarray(paths1(grid))
+    keys = jax.random.split(key, m_out)
+    Ys = [
+        np.asarray(
+            draw_matheron_paths(ml.models[o], keys[o], num_fronts,
+                                num_features)(grid)
+        )
+        for o in range(m_out)
+    ]  # each (K, grid)
 
-    fronts = []
+    cell_los, cell_ups = [], []
     for s in range(num_fronts):
-        Y = np.stack([Y0[s], Y1[s]], axis=-1)
-        nd = np.asarray(is_non_dominated(jnp.asarray(Y)))
-        fronts.append(Y[nd])
-    C = max(f.shape[0] for f in fronts)
-    l1 = np.zeros((num_fronts, C), np.float32)
-    u1 = np.zeros((num_fronts, C), np.float32)
-    u2 = np.zeros((num_fronts, C), np.float32)
-    for s, f in enumerate(fronts):
-        a, b, c = _staircase_cells_2d(jnp.asarray(f, jnp.float32), C)
-        l1[s], u1[s], u2[s] = np.asarray(a), np.asarray(b), np.asarray(c)
+        Y = np.stack([Ys[o][s] for o in range(m_out)], axis=-1)
+        front = Y[np.asarray(is_non_dominated(jnp.asarray(Y)))]
+        if m_out == 2:
+            order = np.argsort(front[:, 0])
+            f1, f2 = front[order, 0], front[order, 1]
+            lo = np.stack(
+                [np.concatenate([[_NEG], f1[:-1]]), np.full(len(f1), _NEG)],
+                -1,
+            )
+            up = np.stack([f1, f2], -1)
+        else:
+            lo, up = dominated_hypercell_bounds_np(
+                front, np.full(m_out, _NEG)
+            )
+        cell_los.append(np.asarray(lo, np.float32))
+        cell_ups.append(np.asarray(up, np.float32))
+    C = max(len(lo) for lo in cell_los)
+    L = np.full((num_fronts, C, m_out), _NEG, np.float32)
+    U = np.full((num_fronts, C, m_out), _NEG, np.float32)
+    for s in range(num_fronts):
+        L[s, : len(cell_los[s])] = cell_los[s]
+        U[s, : len(cell_ups[s])] = cell_ups[s]
     return qParetoFrontierEntropySearch(
         model=model,
         cache=model.train_chol(),
-        cell_left1=jnp.asarray(l1),
-        cell_upper1=jnp.asarray(u1),
-        cell_upper2=jnp.asarray(u2),
+        cell_lower=jnp.asarray(L),
+        cell_upper=jnp.asarray(U),
     )

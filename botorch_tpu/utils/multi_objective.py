@@ -323,3 +323,37 @@ def hypervolume_incl_excl(Y: Array, ref_point: Array) -> Array:
     mins = jnp.min(Ym, axis=-2)  # (..., S, m)
     vols = jnp.prod(jnp.clip(mins - ref_point, 0.0), axis=-1)  # (..., S)
     return jnp.sum(signs * vols, axis=-1)
+
+
+def dominated_hypercell_bounds_np(pareto_Y: np.ndarray, ref_point: np.ndarray):
+    """Disjoint boxes partitioning the DOMINATED region `{y : ref <= y,
+    exists f in front with y <= f}` for any m (host-side) — the
+    counterpart of the reference's `DominatedPartitioning`
+    (`box_decompositions/dominated.py:21`): [Lacour17] Eq. 2 applied to
+    the step-1 local-upper-bound state of the minimization problem over
+    `-pareto_Y`, negated back to maximization coordinates.
+
+    Args (MAXIMIZATION): `pareto_Y (n, m)`, `ref_point (m,)`.
+    Returns `(lower, upper)` numpy `(n_cells, m)`.
+    """
+    pareto_Y = np.asarray(pareto_Y, np.float64)
+    ref_min = -np.asarray(ref_point, np.float64)
+    m = pareto_Y.shape[-1]
+    U = ref_min[None, :].copy()
+    Z = np.full((1, m, m), -np.inf)
+    for j in range(m):
+        Z[0, j, j] = U[0, j]
+    for z in -pareto_Y:
+        U, Z = _lub_update(U, Z, z)
+    # Lacour Eq. 2 (minimization coordinates)
+    n = U.shape[0]
+    lo_min = np.empty((n, m))
+    up_min = np.empty((n, m))
+    lo_min[:, 0] = Z[:, 0, 0]
+    up_min[:, 0] = ref_min[0]
+    for j in range(1, m):
+        lo_min[:, j] = Z[:, :j, j].max(axis=1)
+        up_min[:, j] = U[:, j]
+    keep = ~(up_min <= lo_min).any(axis=-1)
+    lo_min, up_min = lo_min[keep], up_min[keep]
+    return -up_min, -lo_min  # back to maximization coords

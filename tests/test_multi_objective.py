@@ -354,3 +354,89 @@ def test_qhvkg_three_objectives():
                               key=jax.random.PRNGKey(1), maxiter=30)
     assert float(val) > 0.0  # positive expected hypervolume gain
     assert hvkg.extract_candidates(cand).shape == (1, 2)
+
+
+def test_pfes_three_objectives():
+    """General-m PFES: the truncated-union entropy over [Lacour17]
+    dominated cells matches Monte Carlo at m = 3, and the acquisition
+    optimizes with finite gradients."""
+    from botorch_tpu.acquisition.pareto_frontier_entropy_search import (
+        _truncated_union_entropy_cells,
+        make_pfes,
+    )
+    from botorch_tpu.optim.optimize import optimize_acqf
+    from botorch_tpu.utils.multi_objective import (
+        dominated_hypercell_bounds_np,
+    )
+
+    rng = np.random.default_rng(0)
+    front = np.array([
+        [1.0, 2.5, 2.0], [2.0, 1.5, 2.2], [2.6, 0.8, 1.0], [1.5, 2.0, 2.8],
+    ])
+    lo, up = dominated_hypercell_bounds_np(front, np.full(3, -1e8))
+    mu = jnp.asarray([1.2, 1.4, 1.6])
+    sigma = jnp.asarray([1.0, 1.2, 0.9])
+    H, logZ = _truncated_union_entropy_cells(
+        mu, sigma, jnp.asarray(lo, jnp.float32), jnp.asarray(up, jnp.float32)
+    )
+    y = rng.normal(size=(400000, 3)) * np.asarray(sigma) + np.asarray(mu)
+    dom = np.zeros(len(y), bool)
+    for f in front:
+        dom |= (y <= f).all(-1)
+    Z_mc = dom.mean()
+    yd = y[dom]
+    logp = (
+        -0.5 * np.sum(((yd - np.asarray(mu)) / np.asarray(sigma)) ** 2, -1)
+        - np.log((2 * np.pi) ** 1.5 * np.prod(np.asarray(sigma)))
+        - np.log(Z_mc)
+    )
+    assert abs(float(H) - (-logp.mean())) < 1e-2
+    assert abs(float(jnp.exp(logZ)) - Z_mc) < 3e-3
+
+    X = jnp.asarray(rng.uniform(size=(15, 2)), jnp.float32)
+    Y3 = jnp.stack([
+        jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1]),
+        jnp.sin(2 * (X[:, 0] + X[:, 1])),
+    ], -1)
+    m3 = fit_gp(make_gp(X, Y3), jax.random.PRNGKey(0), num_restarts=2,
+                maxiter=25)
+    ub = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    pf3 = make_pfes(m3, ub, jax.random.PRNGKey(1), num_fronts=6,
+                    grid_size=256)
+    pts = jnp.asarray(rng.uniform(size=(6, 1, 2)), jnp.float32)
+    vals = jax.vmap(pf3)(pts)
+    grads = jax.vmap(jax.grad(lambda x: pf3(x)))(pts)
+    assert np.isfinite(np.asarray(vals)).all()
+    assert float(vals.min()) >= -1e-4 and float(vals.max()) > 0.05
+    assert np.isfinite(np.asarray(grads)).all()
+    _, v3 = optimize_acqf(pf3, ub, q=1, num_restarts=4, raw_samples=32,
+                          key=jax.random.PRNGKey(2), maxiter=30)
+    assert float(v3) >= float(vals.max()) - 1e-4
+
+
+def test_dominated_hypercell_bounds_any_m():
+    """Dominated-region cells: disjoint, exhaustive (MC membership), and
+    volumes summing to the exact dominated hypervolume."""
+    from botorch_tpu.utils.multi_objective import (
+        dominated_hypercell_bounds_np,
+        dominated_hypervolume_np,
+    )
+
+    rng = np.random.default_rng(0)
+    for m in [2, 3, 4]:
+        Y = rng.uniform(0.2, 1.0, size=(12, m))
+        front = Y[np.asarray(is_non_dominated(jnp.asarray(Y)))]
+        ref = np.zeros(m)
+        lo, up = dominated_hypercell_bounds_np(front, ref)
+        vol = np.sum(np.prod(np.clip(up - lo, 0, None), axis=-1))
+        assert abs(vol - dominated_hypervolume_np(front, ref)) < 1e-6
+        pts = rng.uniform(0, 1, size=(8000, m))
+        dominated = np.zeros(len(pts), bool)
+        for f in front:
+            dominated |= (pts <= f).all(-1)
+        inside = (
+            (pts[:, None, :] >= lo[None]) & (pts[:, None, :] <= up[None])
+        ).all(-1)
+        cnt = inside.sum(1)
+        assert np.all(cnt[dominated] == 1)
+        assert np.all(cnt[~dominated] == 0)
