@@ -126,3 +126,139 @@ def make_multistep(
         num_fantasies=num_fantasies,
         terminal=terminal,
     )
+
+
+class qThreeStepLookahead(struct.PyTreeNode):
+    r"""Three-stage one-shot scenario tree (reference
+    `multi_step_lookahead.py:49` with `batch_sizes=[q0, q1, q2]`,
+    `num_fantasies=[nf1, nf2]`).
+
+    Variables: `X_full = [X0 (q0) | X1 (nf1, q1) | X2 (nf1, nf2, q2)]`.
+    Forward: fantasize at `X0` (nf1 branches, shared augmented
+    Cholesky), then per branch fantasize at its `X1` (nf2 sub-branches,
+    per-branch augmented Cholesky via `vmap`), and score each leaf with
+    the terminal value at its `X2`. All base draws are fixed qMC — the
+    whole tree is deterministic and differentiable for L-BFGS."""
+
+    model: SingleTaskGP
+    cache: tuple
+    base1: Array  # (nf1, q0)
+    base2: Array  # (nf1, nf2, q1)
+    best_f: Array = 0.0
+    q0: int = struct.field(pytree_node=False, default=1)
+    q1: int = struct.field(pytree_node=False, default=1)
+    q2: int = struct.field(pytree_node=False, default=1)
+    nf1: int = struct.field(pytree_node=False, default=8)
+    nf2: int = struct.field(pytree_node=False, default=4)
+    terminal: str = struct.field(pytree_node=False, default="PosteriorMean")
+
+    def get_augmented_q_batch_size(self) -> int:
+        return self.q0 + self.nf1 * self.q1 + self.nf1 * self.nf2 * self.q2
+
+    def extract_candidates(self, X_full: Array) -> Array:
+        return X_full[..., : self.q0, :]
+
+    def __call__(self, X_full: Array) -> Array:
+        m = self.model
+        q0, q1, q2 = self.q0, self.q1, self.q2
+        nf1, nf2 = self.nf1, self.nf2
+        d = X_full.shape[-1]
+        X0 = X_full[:q0]
+        o1 = q0 + nf1 * q1
+        X1 = X_full[q0:o1].reshape(nf1, q1, d)
+        X2 = X_full[o1:].reshape(nf1, nf2, q2, d)
+
+        p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
+        p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
+        noise0 = p.noise if m.Yvar is None else jnp.mean(m.Yvar[:, 0])
+
+        # stage-1 fantasies at X0 (original units)
+        post = m.posterior(X0, observation_noise=True, cache=self.cache)
+        Lq = post.scale_tril[0]
+        Yf1 = post.mean[:, 0] + self.base1 @ Lq.T  # (nf1, q0)
+        Yf1_std = (Yf1 - m.Y_loc[0]) / m.Y_scale[0]
+
+        X_aug1 = jnp.concatenate([m.X, X0], axis=0)
+        n1 = X_aug1.shape[0]
+        if m.Yvar is not None:
+            nv1 = jnp.concatenate([m.Yvar[:, 0], jnp.full((q0,), noise0)])
+        else:
+            nv1 = jnp.full((n1,), p.noise)
+        K1 = m._kernel(p, X_aug1, X_aug1) + nv1[:, None] * jnp.eye(n1)
+        L1 = psd_safe_cholesky(K1)
+        resid1 = jnp.concatenate(
+            [jnp.broadcast_to(m.Y[:, 0] - p.mean, (nf1, m.num_train)),
+             Yf1_std - p.mean],
+            axis=-1,
+        )  # (nf1, n1)
+        alpha1 = cholesky_solve(L1, resid1.T).T  # (nf1, n1)
+
+        def branch(alpha1_i, resid1_i, X1_i, X2_i, base2_i, best_i):
+            # stage-1 fantasy posterior at X1_i (std units)
+            Ks = m._kernel(p, X_aug1, X1_i)  # (n1, q1)
+            mean1 = p.mean + Ks.T @ alpha1_i  # (q1,)
+            V = jax.scipy.linalg.solve_triangular(L1, Ks, lower=True)
+            cov1 = m._kernel(p, X1_i, X1_i) - V.T @ V
+            cov1 = cov1 + noise0 * jnp.eye(q1)  # observation fantasies
+            Lf = psd_safe_cholesky(cov1)
+            Yf2_std = mean1 + base2_i @ Lf.T  # (nf2, q1)
+            Yf2 = m.Y_loc[0] + m.Y_scale[0] * Yf2_std
+
+            # per-branch second augmentation
+            X_aug2 = jnp.concatenate([X_aug1, X1_i], axis=0)
+            n2 = n1 + q1
+            nv2 = jnp.concatenate([nv1, jnp.full((q1,), noise0)])
+            K2 = m._kernel(p, X_aug2, X_aug2) + nv2[:, None] * jnp.eye(n2)
+            L2 = psd_safe_cholesky(K2)
+            resid2 = jnp.concatenate(
+                [jnp.broadcast_to(resid1_i, (nf2, n1)), Yf2_std - p.mean],
+                axis=-1,
+            )  # (nf2, n2)
+            alpha2 = cholesky_solve(L2, resid2.T).T  # (nf2, n2)
+            best2 = jnp.maximum(jnp.max(Yf2, axis=-1), best_i)  # (nf2,)
+
+            def leaf(alpha2_j, X2_j, best_j):
+                Ks2 = m._kernel(p, X_aug2, X2_j)  # (n2, q2)
+                mean2 = p.mean + Ks2.T @ alpha2_j
+                mean_orig = m.Y_loc[0] + m.Y_scale[0] * mean2
+                if self.terminal == "PosteriorMean":
+                    return jnp.max(mean_orig)
+                v = jax.scipy.linalg.solve_triangular(L2, Ks2, lower=True)
+                var = jnp.clip(
+                    jnp.diagonal(m._kernel(p, X2_j, X2_j))
+                    - jnp.sum(v * v, 0),
+                    1e-12,
+                ) * jnp.square(m.Y_scale[0])
+                sigma = jnp.sqrt(var)
+                u = (mean_orig - best_j) / sigma
+                return jnp.max(log_ei_helper(u) + jnp.log(sigma))
+
+            return jnp.mean(jax.vmap(leaf)(alpha2, X2_i, best2))
+
+        best1 = jnp.maximum(jnp.max(Yf1, axis=-1), jnp.asarray(self.best_f))
+        vals = jax.vmap(branch)(alpha1, resid1, X1, X2, self.base2, best1)
+        return jnp.mean(vals)
+
+
+def make_three_step(
+    model: SingleTaskGP,
+    q0: int = 1,
+    q1: int = 1,
+    q2: int = 1,
+    num_fantasies: tuple = (8, 4),
+    best_f: float | Array = 0.0,
+    terminal: str = "PosteriorMean",
+    seed: int = 0,
+) -> qThreeStepLookahead:
+    nf1, nf2 = num_fantasies
+    z1 = draw_sobol_normal_samples(q0, nf1, seed=seed)
+    z2 = draw_sobol_normal_samples(q1 * nf2, nf1, seed=seed + 1)
+    return qThreeStepLookahead(
+        model=model,
+        cache=model.train_chol(),
+        base1=z1,
+        base2=z2.reshape(nf1, nf2, q1),
+        best_f=jnp.asarray(best_f, jnp.float32),
+        q0=q0, q1=q1, q2=q2, nf1=nf1, nf2=nf2,
+        terminal=terminal,
+    )

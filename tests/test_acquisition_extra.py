@@ -220,3 +220,38 @@ def test_turbo_compiled_loop_matches_host_loop():
     )
     # same-ballpark final quality as the host-driven loop
     assert float(Y.max()) > float(Yh.max()) - 2.0
+
+
+def test_three_step_lookahead():
+    """`qThreeStepLookahead`: 3-stage one-shot scenario tree has finite
+    gradients and its optimized value dominates the 2-step tree (more
+    adaptivity cannot hurt)."""
+    from botorch_tpu.acquisition.multi_step_lookahead import (
+        make_multistep,
+        make_three_step,
+    )
+    from botorch_tpu.optim.optimize import optimize_acqf
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1]) + 0.05 * jnp.asarray(
+        rng.normal(size=(12, 1)), jnp.float32
+    )
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=25)
+    best = float(Y.max())
+    acqf = make_three_step(model, num_fantasies=(4, 3), best_f=best)
+    na = acqf.get_augmented_q_batch_size()
+    assert na == 1 + 4 + 12
+    Xf = jnp.asarray(rng.uniform(size=(na, 2)), jnp.float32)
+    g = jax.grad(lambda x: acqf(x))(Xf)
+    assert np.isfinite(np.asarray(g)).all()
+    ub = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    _, v3 = optimize_acqf(acqf, ub, q=na, num_restarts=4, raw_samples=24,
+                          key=jax.random.PRNGKey(1), maxiter=40)
+    two = make_multistep(model, num_fantasies=4, best_f=best)
+    _, v2 = optimize_acqf(two, ub, q=two.get_augmented_q_batch_size(),
+                          num_restarts=4, raw_samples=24,
+                          key=jax.random.PRNGKey(1), maxiter=40)
+    assert float(v3) >= float(v2) - 0.05
+    assert acqf.extract_candidates(Xf).shape == (1, 2)
