@@ -37,6 +37,7 @@ def param_bounds(model: SingleTaskGP) -> tuple[GPParams, GPParams]:
     inferred noise >= 1e-4. Unused/fixed parameters are pinned."""
     p = model.params
     inf = jnp.inf
+    kw = p.raw_kernel_weights
     lo = GPParams(
         mean=jnp.full_like(p.mean, -inf),
         raw_lengthscale=jnp.full_like(
@@ -52,6 +53,9 @@ def param_bounds(model: SingleTaskGP) -> tuple[GPParams, GPParams]:
             if model.infer_noise
             else p.raw_noise
         ),
+        raw_kernel_weights=(
+            None if kw is None else jnp.full_like(kw, math.log(1e-6))
+        ),
     )
     hi = GPParams(
         mean=jnp.full_like(p.mean, inf),
@@ -65,6 +69,9 @@ def param_bounds(model: SingleTaskGP) -> tuple[GPParams, GPParams]:
             jnp.full_like(p.raw_noise, math.log(1e4))
             if model.infer_noise
             else p.raw_noise
+        ),
+        raw_kernel_weights=(
+            None if kw is None else jnp.full_like(kw, math.log(1e4))
         ),
     )
     return lo, hi
@@ -92,6 +99,14 @@ def sample_params_from_priors(
         raw_os = jnp.log(os_)
     else:
         raw_os = jnp.broadcast_to(p.raw_outputscale, (n, *p.raw_outputscale.shape))
+    if p.raw_kernel_weights is not None:
+        k_w = jax.random.fold_in(k_os, 1)
+        w_ = priors_mod.Gamma(2.0, 0.15).sample(
+            k_w, (n, *p.raw_kernel_weights.shape)
+        )
+        raw_kw = jnp.log(jnp.clip(w_, 1e-6, 1e4))
+    else:
+        raw_kw = None
     return GPParams(
         mean=jnp.broadcast_to(p.mean, (n, *p.mean.shape)),
         raw_lengthscale=jnp.log(
@@ -99,6 +114,7 @@ def sample_params_from_priors(
         ),
         raw_outputscale=raw_os,
         raw_noise=raw_noise,
+        raw_kernel_weights=raw_kw,
     )
 
 

@@ -57,6 +57,11 @@ class GPParams(struct.PyTreeNode):
     raw_lengthscale: Array  # (..., d) log lengthscale
     raw_outputscale: Array  # (...,) log outputscale (used iff use_outputscale)
     raw_noise: Array  # (...,) log noise variance (used iff noise inferred)
+    # (..., w, m) log kernel mixture weights for composite kernels (mixed
+    # sum/product outputscales, OAK component coefficients); None for plain
+    # kernels. The weight axis precedes the output axis so per-output
+    # slicing `[..., out]` works uniformly across all fields.
+    raw_kernel_weights: Optional[Array] = None
 
     @property
     def lengthscale(self) -> Array:
@@ -69,6 +74,12 @@ class GPParams(struct.PyTreeNode):
     @property
     def noise(self) -> Array:
         return jnp.exp(self.raw_noise)
+
+    @property
+    def kernel_weights(self) -> Optional[Array]:
+        if self.raw_kernel_weights is None:
+            return None
+        return jnp.exp(self.raw_kernel_weights)
 
 
 class SingleTaskGP(struct.PyTreeNode):
@@ -139,7 +150,12 @@ class SingleTaskGP(struct.PyTreeNode):
         return jnp.broadcast_to(params.noise[..., None], shape)
 
     def _kernel(self, params: GPParams, x: Array, z: Array) -> Array:
-        k = kernel_fn(self.kernel)(x, z, params.lengthscale)
+        if params.raw_kernel_weights is not None:
+            k = kernel_fn(self.kernel)(
+                x, z, params.lengthscale, params.kernel_weights
+            )
+        else:
+            k = kernel_fn(self.kernel)(x, z, params.lengthscale)
         if self.use_outputscale:
             k = params.outputscale[..., None, None] * k
         return k
@@ -205,6 +221,13 @@ class SingleTaskGP(struct.PyTreeNode):
             lp = lp + jnp.sum(priors_mod.lognormal_noise_prior().log_prob(params.noise), -1)
         if self.use_outputscale:
             lp = lp + jnp.sum(priors_mod.Gamma(2.0, 0.15).log_prob(params.outputscale), -1)
+        if params.raw_kernel_weights is not None:
+            # Gamma(2, 0.15) on each mixture weight — the reference's
+            # ScaleKernel outputscale prior applied per component.
+            lp = lp + jnp.sum(
+                priors_mod.Gamma(2.0, 0.15).log_prob(params.kernel_weights),
+                axis=(-1, -2),
+            )
         return lp
 
     def map_objective(self, params: GPParams) -> Array:
@@ -309,16 +332,26 @@ def _maybe_warn_input_scaling(train_X, mask) -> None:
         )
 
 
-def default_init_params(d: int, m: int = 1, use_outputscale: bool = False) -> GPParams:
+def default_init_params(
+    d: int, m: int = 1, use_outputscale: bool = False, kernel: str = "rbf"
+) -> GPParams:
     """Initial hyperparameters at the prior modes (reference
-    `gpytorch_modules.py:117-126` uses `initial_value=prior.mode`)."""
+    `gpytorch_modules.py:117-126` uses `initial_value=prior.mode`).
+    Composite kernels additionally get mixture weights initialized at the
+    values reproducing their unweighted form."""
+    from botorch_tpu.ops.kernels import kernel_default_raw_weights
+
     ls_prior = priors_mod.dim_scaled_lognormal_lengthscale_prior(d)
     noise_prior = priors_mod.lognormal_noise_prior()
+    w0 = kernel_default_raw_weights(kernel, d)
     return GPParams(
         mean=jnp.zeros((m,)),
         raw_lengthscale=jnp.full((m, d), math.log(ls_prior.mode)),
         raw_outputscale=jnp.zeros((m,)),
         raw_noise=jnp.full((m,), math.log(noise_prior.mode)),
+        raw_kernel_weights=(
+            None if w0 is None else jnp.broadcast_to(w0[:, None], (w0.shape[0], m))
+        ),
     )
 
 
@@ -364,7 +397,7 @@ def make_gp(
         train_Yvar = train_Yvar[:, None]
     Yvar_std = None if train_Yvar is None else train_Yvar / jnp.square(scale)
     if params is None:
-        params = default_init_params(d, m, use_outputscale)
+        params = default_init_params(d, m, use_outputscale, kernel=kernel)
     return SingleTaskGP(
         X=train_X,
         Y=Y_std,

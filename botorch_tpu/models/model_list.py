@@ -77,9 +77,17 @@ def model_list_to_batched(model_list: ModelList) -> SingleTaskGP:
             raise ValueError("model_list_to_batched requires identical train X")
         if m.kernel != ms[0].kernel:
             raise ValueError("kernels must match")
+    # kernel mixture weights carry the output axis LAST ((w, m) layout),
+    # unlike the other fields — concatenate them separately
+    kw = None
+    if ms[0].params.raw_kernel_weights is not None:
+        kw = jnp.concatenate(
+            [m.params.raw_kernel_weights for m in ms], axis=-1
+        )
     params = jax.tree_util.tree_map(
-        lambda *leaves: jnp.concatenate(leaves, axis=0), *(m.params for m in ms)
-    )
+        lambda *leaves: jnp.concatenate(leaves, axis=0),
+        *(m.params.replace(raw_kernel_weights=None) for m in ms),
+    ).replace(raw_kernel_weights=kw)
     Yvar = (
         None
         if ms[0].Yvar is None
@@ -107,6 +115,11 @@ def batched_to_model_list(model: SingleTaskGP) -> ModelList:
             raw_lengthscale=model.params.raw_lengthscale[..., i : i + 1, :],
             raw_outputscale=model.params.raw_outputscale[..., i : i + 1],
             raw_noise=model.params.raw_noise[..., i : i + 1],
+            raw_kernel_weights=(
+                None
+                if model.params.raw_kernel_weights is None
+                else model.params.raw_kernel_weights[..., i : i + 1]
+            ),
         )
         models.append(
             model.replace(

@@ -104,12 +104,13 @@ def _masked_dims(d: int, dims: tuple):
 
 def make_mixed(cat_dims: tuple):
     """Mixed continuous/categorical kernel (reference
-    `models/gp_regression_mixed.py:28` `MixedSingleTaskGP`): sum + product
-    of a Matern-5/2 over continuous dims and a Hamming kernel over
-    categorical dims (equal fixed weights; the reference learns two
-    outputscales — noted deviation)."""
+    `models/gp_regression_mixed.py:28` `MixedSingleTaskGP`):
+    `K = w_sum (k_cont + k_cat) + w_prod (k_cont * k_cat)` — a Matern-5/2
+    over continuous dims and a Hamming kernel over categorical dims. The
+    two mixture weights are the reference's learned ScaleKernel
+    outputscales; with `weights=None` they default to 1/2 each."""
 
-    def k(x, z, lengthscale):
+    def k(x, z, lengthscale, weights=None):
         d = x.shape[-1]
         cm = _masked_dims(d, cat_dims)
         # continuous part: give categorical dims huge lengthscale (no-op)
@@ -124,7 +125,12 @@ def make_mixed(cat_dims: tuple):
         k_cat = jnp.exp(
             -jnp.sum(neq / ls_cat[..., None, None, :], axis=-1) / max(len(cat_dims), 1)
         )
-        return 0.5 * (k_cont + k_cat) + 0.5 * k_cont * k_cat
+        if weights is None:
+            w_sum = w_prod = 0.5
+        else:
+            w_sum = weights[..., 0][..., None, None]
+            w_prod = weights[..., 1][..., None, None]
+        return w_sum * (k_cont + k_cat) + w_prod * k_cont * k_cat
 
     return k
 
@@ -231,10 +237,15 @@ def make_oak(second_order: bool = False, quad_points: int = 32):
     """Orthogonal additive kernel (reference
     `models/kernels/orthogonal_additive_kernel.py:20`, [Lu2022oak]):
     per-dimension RBF components made orthogonal to constants on [0, 1]
-    via Gauss-Legendre quadrature, summed additively (optionally with
-    second-order interaction products). Unit component weights (the
-    reference learns them — noted simplification); ARD lengthscales per
-    dimension as usual.
+    via Gauss-Legendre quadrature, summed additively with learned
+    per-component coefficients (the reference's `coeffs_1`), optionally
+    with second-order interaction products weighted by learned pairwise
+    coefficients (`coeffs_2`). With `weights=None` all first-order
+    coefficients default to `1/d` (and second-order to `1/d^2`).
+
+    Weight layout (trailing axis): `d` first-order coefficients, then the
+    `d (d - 1) / 2` upper-triangle second-order coefficients (row-major
+    over pairs `i < j`) when `second_order`.
     """
     import numpy as _np
 
@@ -242,7 +253,7 @@ def make_oak(second_order: bool = False, quad_points: int = 32):
     gx = jnp.asarray((gx + 1.0) / 2.0, jnp.float32)  # nodes on [0, 1]
     gw = jnp.asarray(gw / 2.0, jnp.float32)
 
-    def k(x, z, lengthscale):
+    def k(x, z, lengthscale, weights=None):
         def k1(a, b, ls):
             # 1-d RBF: a (..., n), b (..., m) -> (..., n, m)
             d = a[..., :, None] - b[..., None, :]
@@ -259,15 +270,54 @@ def make_oak(second_order: bool = False, quad_points: int = 32):
             M = jnp.sum(gw[:, None] * gw[None, :] * k1(gx, gx, ls))
             kt = kd - Sx[..., :, None] - Sz[..., None, :] + M
             comps.append(kt)
-            total = total + kt
+            w1 = (
+                1.0 / d_dims
+                if weights is None
+                else weights[..., dim][..., None, None]
+            )
+            total = total + w1 * kt
         if second_order:
-            sum_sq = 0.0
-            for kt in comps:
-                sum_sq = sum_sq + kt * kt
-            total = total + 0.5 * (total * total - sum_sq)
-        return total / d_dims
+            pair_idx = d_dims
+            for i in range(d_dims):
+                for j in range(i + 1, d_dims):
+                    w2 = (
+                        1.0 / (d_dims * d_dims)
+                        if weights is None
+                        else weights[..., pair_idx][..., None, None]
+                    )
+                    total = total + w2 * comps[i] * comps[j]
+                    pair_idx += 1
+        return total
 
     return k
+
+
+def kernel_num_weights(name: str, d: int) -> int:
+    """Number of learned mixture weights a kernel carries beyond ARD
+    lengthscales (0 for plain kernels). These live in
+    `GPParams.raw_kernel_weights`."""
+    if name.startswith("mixed:"):
+        return 2
+    if name == "oak":
+        return d
+    if name == "oak2":
+        return d + d * (d - 1) // 2
+    return 0
+
+
+def kernel_default_raw_weights(name: str, d: int):
+    """Default (log-space) kernel weights reproducing the unweighted
+    behavior, or `None` for kernels without weights."""
+    import numpy as _np
+
+    w = kernel_num_weights(name, d)
+    if w == 0:
+        return None
+    if name.startswith("mixed:"):
+        return jnp.asarray(_np.log([0.5, 0.5]), jnp.float32)
+    vals = _np.full((w,), 1.0 / (d * d))
+    vals[:d] = 1.0 / d
+    return jnp.asarray(_np.log(vals), jnp.float32)
 
 
 def kernel_fn(name: str):

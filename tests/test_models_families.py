@@ -386,3 +386,45 @@ def test_hogp_kaxis_matches_dense():
 
     mf = fit_hogp_kaxis(m, maxiter=40)
     assert float(mf.mll()) > float(m.mll())
+
+
+def test_learned_kernel_weights():
+    """Composite-kernel mixture weights are learned (reference
+    `MixedSingleTaskGP` ScaleKernel outputscales; OAK `coeffs_1/coeffs_2`):
+    fitting moves them away from the defaults and improves the MAP
+    objective, and the converters preserve them."""
+    from botorch_tpu.models.model_list import (
+        batched_to_model_list,
+        model_list_to_batched,
+    )
+    from botorch_tpu.ops.kernels import kernel_num_weights
+
+    rng = np.random.default_rng(3)
+    Xc = rng.uniform(size=(24, 2))
+    cat = rng.integers(0, 2, size=(24, 1))
+    X = jnp.asarray(np.concatenate([Xc, cat], -1), jnp.float32)
+    # pure-additive ground truth: the sum kernel should win the weights
+    Y = jnp.asarray(np.sin(4 * Xc[:, 0]) + 2.0 * cat[:, 0], jnp.float32)
+
+    m0 = make_gp(X, Y[:, None], kernel="mixed:2")
+    assert m0.params.raw_kernel_weights.shape == (2, 1)
+    loss0 = float(m0.map_objective(m0.params))
+    m = fit_gp(m0, jax.random.PRNGKey(0), num_restarts=4, maxiter=60)
+    assert float(m.map_objective(m.params)) < loss0
+    w = np.exp(np.asarray(m.params.raw_kernel_weights))[:, 0]
+    assert not np.allclose(w, 0.5, atol=1e-3)  # moved off the default
+
+    # OAK weight counts
+    assert kernel_num_weights("oak", 3) == 3
+    assert kernel_num_weights("oak2", 3) == 6
+    moak = make_gp(jnp.asarray(Xc, jnp.float32), Y[:, None], kernel="oak")
+    assert moak.params.raw_kernel_weights.shape == (2, 1)
+    moak = fit_gp(moak, jax.random.PRNGKey(1), num_restarts=2, maxiter=40)
+    assert np.isfinite(float(moak.mll()))
+
+    ml = batched_to_model_list(m)
+    rt = model_list_to_batched(ml)
+    assert np.allclose(
+        np.asarray(rt.params.raw_kernel_weights),
+        np.asarray(m.params.raw_kernel_weights),
+    )

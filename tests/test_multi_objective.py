@@ -440,3 +440,137 @@ def test_dominated_hypercell_bounds_any_m():
         cnt = inside.sum(1)
         assert np.all(cnt[dominated] == 1)
         assert np.all(cnt[~dominated] == 0)
+
+
+def _toy_mo_model(n=10, noise=1e-4, seed=0):
+    key = jax.random.PRNGKey(seed)
+    X = jax.random.uniform(key, (n, 2))
+    Y = jnp.stack(
+        [-jnp.sum((X - 0.25) ** 2, -1), -jnp.sum((X - 0.75) ** 2, -1)], -1
+    )
+    Yvar = None if noise is None else jnp.full(Y.shape, noise)
+    return fit_gp(make_gp(X, Y, train_Yvar=Yvar), num_restarts=2, maxiter=60)
+
+
+def test_mo_jes_matches_conditioned_model():
+    """MO-JES's rank-P front conditioning must agree with an independent
+    path: condition the (tiny-noise) model on the sampled front via
+    `condition_on_observations`, then evaluate the same cell-truncated
+    entropy on the conditioned posterior."""
+    from botorch_tpu.acquisition.multi_objective_entropy_search import (
+        _entropy_cells_noisy,
+        _output_noise,
+        make_mo_jes,
+    )
+
+    model = _toy_mo_model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    jes = make_mo_jes(
+        model, bounds, jax.random.PRNGKey(5),
+        num_pareto_samples=1, num_pareto_points=6,
+        grid_size=128, num_features=128,
+    )
+    noise = _output_noise(model)
+    nvalid = int(np.asarray(jes.pmask[0]).sum())
+    Xs = jes.X_star[0, :nvalid]
+    Ys = jes.Y_star[0, :nvalid]
+    cond = model.condition_on_observations(Xs, Ys)
+    for seed in range(4):
+        x = jax.random.uniform(jax.random.PRNGKey(100 + seed), (1, 2))
+        post0 = model.posterior(x)
+        h0 = float(
+            jnp.sum(
+                0.5 * jnp.log(2 * jnp.pi * jnp.e * (post0.variance[0] + noise))
+            )
+        )
+        post_c = cond.posterior(x)
+        h_cond = float(
+            _entropy_cells_noisy(
+                post_c.mean[0], post_c.variance[0], noise,
+                jes.cell_lower[0], jes.cell_upper[0],
+            )
+        )
+        got = float(jes(x))
+        assert abs(got - (h0 - h_cond)) < 0.03, (seed, got, h0 - h_cond)
+
+
+def test_mo_pes_ep_matches_rejection_sampling():
+    """MO-PES's EP-conditioned entropy vs rejection-sampling ground truth:
+    sample the joint latent over [pareto | train | x], keep draws where no
+    point dominates any pareto point, compare conditional entropies."""
+    from botorch_tpu.acquisition.multi_objective_entropy_search import (
+        _output_noise,
+        make_mo_pes,
+    )
+
+    model = _toy_mo_model(n=6)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    P = 3
+    pes = make_mo_pes(
+        model, bounds, jax.random.PRNGKey(7),
+        num_pareto_samples=1, num_pareto_points=P,
+        grid_size=128, num_features=128, ep_iters=16,
+    )
+    noise = np.asarray(_output_noise(model))
+    rng = np.random.default_rng(0)
+    for seed in range(3):
+        x = jax.random.uniform(jax.random.PRNGKey(200 + seed), (1, 2))
+        pts = jnp.concatenate([pes.X_star[0], model.X, x], axis=0)
+        joint = model.posterior(pts)
+        mean = np.asarray(joint.mean)  # (P+n+1, m)
+        cov = np.asarray(joint.cov)  # (m, N, N)
+        N = mean.shape[0]
+        S = 200_000
+        samples = np.stack(
+            [
+                rng.multivariate_normal(mean[:, o], cov[o] + 1e-9 * np.eye(N), S)
+                for o in range(2)
+            ],
+            axis=-1,
+        )  # (S, N, m)
+        # acceptance: no other point dominates any pareto point
+        acc = np.ones(S, bool)
+        for i in range(P):
+            diff = samples[:, i : i + 1, :] - samples  # (S, N, m)
+            dominated_by = (diff <= 0).all(-1)  # j dominates i
+            dominated_by[:, i] = False
+            acc &= ~dominated_by.any(-1)
+        assert acc.sum() > 500, f"rejection acceptance too low: {acc.sum()}"
+        var_mc = samples[acc, -1, :].var(axis=0)  # (m,)
+        h_mc = float(
+            np.sum(0.5 * np.log(2 * np.pi * np.e * (var_mc + noise)))
+        )
+        post0 = model.posterior(x)
+        h0 = float(
+            np.sum(
+                0.5 * np.log(
+                    2 * np.pi * np.e * (np.asarray(post0.variance[0]) + noise)
+                )
+            )
+        )
+        h_ep = h0 - float(pes(x))
+        assert abs(h_ep - h_mc) < 0.35, (seed, h_ep, h_mc)
+
+
+def test_mo_jes_pes_optimize():
+    """Both MO entropy acquisitions run through optimize_acqf."""
+    from botorch_tpu.acquisition.multi_objective_entropy_search import (
+        make_mo_jes,
+        make_mo_pes,
+    )
+    from botorch_tpu.optim.optimize import optimize_acqf
+
+    model = _toy_mo_model(n=8, noise=None)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    for make in (make_mo_jes, make_mo_pes):
+        acqf = make(
+            model, bounds, jax.random.PRNGKey(11),
+            num_pareto_samples=2, num_pareto_points=4,
+            grid_size=64, num_features=64,
+        )
+        cand, val = optimize_acqf(
+            acqf, bounds, q=1, num_restarts=2, raw_samples=16,
+            key=jax.random.PRNGKey(12), maxiter=15,
+        )
+        assert cand.shape == (1, 2)
+        assert np.isfinite(float(val))
