@@ -118,6 +118,29 @@ def sample_params_from_priors(
     )
 
 
+def _prepare_fit(model: SingleTaskGP, key: Array, num_restarts: int):
+    """Shared setup for the MAP fit: flattened objective, restart starts
+    (incumbent + prior samples), and raw-space box bounds."""
+    flat0, unravel = ravel_pytree(model.params)
+    dtype = flat0.dtype
+
+    def obj(v: Array) -> Array:
+        return model.map_objective(unravel(v))
+
+    starts = [flat0]
+    if num_restarts > 1:
+        sampled = sample_params_from_priors(key, model, num_restarts - 1)
+        for i in range(num_restarts - 1):
+            p_i = jax.tree_util.tree_map(lambda a: a[i], sampled)
+            starts.append(ravel_pytree(p_i)[0])
+    x0 = jnp.stack(starts).astype(dtype)
+
+    lo_t, hi_t = param_bounds(model)
+    lo = ravel_pytree(lo_t)[0].astype(dtype)
+    hi = ravel_pytree(hi_t)[0].astype(dtype)
+    return obj, unravel, x0, lo, hi
+
+
 @partial(jax.jit, static_argnames=("num_restarts", "maxiter", "shard_fn"))
 def fit_gp(
     model: SingleTaskGP,
@@ -136,25 +159,35 @@ def fit_gp(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    flat0, unravel = ravel_pytree(model.params)
-    dtype = flat0.dtype
-
-    def obj(v: Array) -> Array:
-        return model.map_objective(unravel(v))
-
-    starts = [flat0]
-    if num_restarts > 1:
-        sampled = sample_params_from_priors(key, model, num_restarts - 1)
-        for i in range(num_restarts - 1):
-            p_i = jax.tree_util.tree_map(lambda a: a[i], sampled)
-            starts.append(ravel_pytree(p_i)[0])
-    x0 = jnp.stack(starts).astype(dtype)
-
-    lo_t, hi_t = param_bounds(model)
-    lo = ravel_pytree(lo_t)[0].astype(dtype)
-    hi = ravel_pytree(hi_t)[0].astype(dtype)
-
+    obj, unravel, x0, lo, hi = _prepare_fit(model, key, num_restarts)
     res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter, shard_fn=shard_fn)
+    fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
+    best = jnp.argmin(fun)
+    return model.replace(params=unravel(res.x[best]))
+
+
+def fit_gp_with_timeout(
+    model: SingleTaskGP,
+    key: Optional[Array] = None,
+    num_restarts: int = 8,
+    maxiter: int = 200,
+    timeout_sec: float = 10.0,
+    timeout_chunk: int = 20,
+    shard_fn=None,
+) -> SingleTaskGP:
+    """`fit_gp` under a wall-clock budget (reference
+    `fit_gpytorch_mll(..., timeout_sec)` → `minimize_with_timeout`,
+    `optim/utils/timeout.py:19`): L-BFGS runs in compiled chunks on
+    device with a host-side deadline check between chunks; the
+    best-so-far restart wins on expiry. Host-loop function — not
+    jittable (the compiled chunks are cached across calls)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    obj, unravel, x0, lo, hi = _prepare_fit(model, key, num_restarts)
+    res = multi_start_lbfgsb(
+        obj, x0, bounds=(lo, hi), maxiter=maxiter, shard_fn=shard_fn,
+        timeout_sec=timeout_sec, timeout_chunk=timeout_chunk,
+    )
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
     return model.replace(params=unravel(res.x[best]))

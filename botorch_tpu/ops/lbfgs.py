@@ -89,42 +89,33 @@ def _two_loop(g: Array, S: Array, Y: Array, rho: Array, head: Array) -> Array:
     return -r
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7))
-def lbfgsb(
-    fun: Callable[[Array], Array],
-    x0: Array,
-    bounds: Optional[tuple[Array, Array]] = None,
-    maxiter: int = 100,
-    history: int = 10,
-    tol: float = 1e-5,
-    ftol: float = 0.0,
-    max_ls: int = 25,
-) -> LBFGSResult:
-    """Minimize `fun` from `x0 (k,)` subject to `lo <= x <= hi`.
-
-    Batch over restarts with `jax.vmap(lambda x0: lbfgsb(fun, x0, ...))`;
-    under vmap the while-loop runs until every lane is done, with finished
-    lanes masked to no-ops.
-    """
-    k = x0.shape[-1]
-    dtype = x0.dtype
+def _resolve_bounds(bounds, k, dtype):
     if bounds is None:
         lo = jnp.full((k,), -jnp.inf, dtype)
         hi = jnp.full((k,), jnp.inf, dtype)
     else:
         lo = jnp.broadcast_to(jnp.asarray(bounds[0], dtype), (k,))
         hi = jnp.broadcast_to(jnp.asarray(bounds[1], dtype), (k,))
+    return lo, hi
 
-    vg = jax.value_and_grad(fun)
+
+def lbfgs_init(
+    fun: Callable[[Array], Array],
+    x0: Array,
+    bounds: Optional[tuple[Array, Array]] = None,
+    history: int = 10,
+    tol: float = 1e-5,
+) -> LBFGSState:
+    """Build the initial solver state for `lbfgs_run` (projected start,
+    first value/gradient, empty history ring)."""
+    k = x0.shape[-1]
+    dtype = x0.dtype
+    lo, hi = _resolve_bounds(bounds, k, dtype)
     project = lambda x: jnp.clip(x, lo, hi)
-
     x0 = project(x0)
-    f0, g0 = vg(x0)
-
-    def proj_grad_norm(x, g):
-        return jnp.max(jnp.abs(x - project(x - g)))
-
-    init = LBFGSState(
+    f0, g0 = jax.value_and_grad(fun)(x0)
+    pgn = jnp.max(jnp.abs(x0 - project(x0 - g0)))
+    return LBFGSState(
         x=x0,
         f=f0,
         g=g0,
@@ -134,14 +125,42 @@ def lbfgsb(
         head=jnp.int32(0),
         n_iter=jnp.int32(0),
         stall=jnp.int32(0),
-        converged=proj_grad_norm(x0, g0) <= tol,
+        converged=pgn <= tol,
         failed=jnp.bool_(False),
     )
+
+
+def lbfgs_run(
+    fun: Callable[[Array], Array],
+    init: LBFGSState,
+    bounds: Optional[tuple[Array, Array]] = None,
+    iter_limit: Array | int = 100,
+    tol: float = 1e-5,
+    ftol: float = 0.0,
+    max_ls: int = 25,
+) -> LBFGSState:
+    """Advance the solver from `init` until convergence/failure or until
+    the TOTAL iteration count reaches `iter_limit` (a dynamic value — the
+    same compiled program serves every chunk of a wall-clock-budgeted
+    host loop, the `minimize_with_timeout` counterpart,
+    `botorch/optim/utils/timeout.py:19`)."""
+    k = init.x.shape[-1]
+    dtype = init.x.dtype
+    history = init.S.shape[0]
+    lo, hi = _resolve_bounds(bounds, k, dtype)
+    iter_limit = jnp.asarray(iter_limit, jnp.int32)
+
+    vg = jax.value_and_grad(fun)
+    project = lambda x: jnp.clip(x, lo, hi)
+
+    def proj_grad_norm(x, g):
+        return jnp.max(jnp.abs(x - project(x - g)))
+
     # Material-descent floor: decreases below numerical noise count as stalls.
     noise_floor = 4.0 * jnp.finfo(dtype).eps
 
     def cond(st: LBFGSState):
-        return (~(st.converged | st.failed)) & (st.n_iter < maxiter)
+        return (~(st.converged | st.failed)) & (st.n_iter < iter_limit)
 
     def body(st: LBFGSState):
         d = _two_loop(st.g, st.S, st.Y, st.rho, st.head)
@@ -210,7 +229,31 @@ def lbfgsb(
             lambda old, upd: jnp.where(done, old, upd), st, new
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 7))
+def lbfgsb(
+    fun: Callable[[Array], Array],
+    x0: Array,
+    bounds: Optional[tuple[Array, Array]] = None,
+    maxiter: int = 100,
+    history: int = 10,
+    tol: float = 1e-5,
+    ftol: float = 0.0,
+    max_ls: int = 25,
+) -> LBFGSResult:
+    """Minimize `fun` from `x0 (k,)` subject to `lo <= x <= hi`.
+
+    Batch over restarts with `jax.vmap(lambda x0: lbfgsb(fun, x0, ...))`;
+    under vmap the while-loop runs until every lane is done, with finished
+    lanes masked to no-ops.
+    """
+    st = lbfgs_init(fun, x0, bounds=bounds, history=history, tol=tol)
+    final = lbfgs_run(
+        fun, st, bounds=bounds, iter_limit=maxiter, tol=tol, ftol=ftol,
+        max_ls=max_ls,
+    )
     return LBFGSResult(
         x=final.x,
         fun=final.f,
@@ -229,6 +272,8 @@ def multi_start_lbfgsb(
     tol: float = 1e-5,
     max_ls: int = 25,
     shard_fn: Optional[Callable[[Array], Array]] = None,
+    timeout_sec: Optional[float] = None,
+    timeout_chunk: int = 20,
 ) -> LBFGSResult:
     """Run `lbfgsb` from a batch of starts `x0_batch: (r, k)` in lockstep.
 
@@ -238,11 +283,49 @@ def multi_start_lbfgsb(
     `parallel.sharding.leading_axis_sharder`) shards the restart axis over
     a device mesh; each lane's solve is then fully local and the final
     argmax is the only collective.
+
+    With `timeout_sec`, iterations run in compiled chunks of
+    `timeout_chunk` with a wall-clock check between chunks; on expiry the
+    best-so-far state of every lane is returned (the reference's
+    `minimize_with_timeout` semantics, `optim/utils/timeout.py:19` —
+    device-batch style: one deadline shared by all lanes).
     """
     if shard_fn is not None:
         x0_batch = shard_fn(x0_batch)
-    solver = lambda x0: lbfgsb(
-        fun, x0, bounds=bounds, maxiter=maxiter, history=history, tol=tol,
-        max_ls=max_ls,
+    if timeout_sec is None:
+        solver = lambda x0: lbfgsb(
+            fun, x0, bounds=bounds, maxiter=maxiter, history=history,
+            tol=tol, max_ls=max_ls,
+        )
+        return jax.vmap(solver)(x0_batch)
+
+    import time
+
+    t0 = time.monotonic()
+    init_b = jax.jit(
+        jax.vmap(
+            lambda x0: lbfgs_init(fun, x0, bounds=bounds, history=history, tol=tol)
+        )
     )
-    return jax.vmap(solver)(x0_batch)
+    run_b = jax.jit(
+        jax.vmap(
+            lambda st, lim: lbfgs_run(
+                fun, st, bounds=bounds, iter_limit=lim, tol=tol, max_ls=max_ls
+            ),
+            in_axes=(0, None),
+        )
+    )
+    st = init_b(x0_batch)
+    done = 0
+    while done < maxiter:
+        nxt = min(done + timeout_chunk, maxiter)
+        st = run_b(st, jnp.int32(nxt))
+        jax.block_until_ready(st.x)
+        done = nxt
+        if bool(jnp.all(st.converged | st.failed)):
+            break
+        if time.monotonic() - t0 >= timeout_sec:
+            break
+    return LBFGSResult(
+        x=st.x, fun=st.f, grad=st.g, n_iter=st.n_iter, converged=st.converged
+    )

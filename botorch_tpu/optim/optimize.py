@@ -140,6 +140,7 @@ def optimize_acqf(
     inequality_constraints: Optional[list] = None,
     nonlinear_inequality_constraints: Optional[list] = None,
     constraint_penalty: float = 1e3,
+    timeout_sec: Optional[float] = None,
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
 
@@ -160,6 +161,10 @@ def optimize_acqf(
             scalar` and applies to every candidate; otherwise `g` maps
             the joint `(q, d) -> scalar`. Enforced by the same smooth
             quadratic penalty; jit-compatible (no SLSQP).
+        timeout_sec: optional wall-clock budget for the L-BFGS phase
+            (reference `optimize_acqf(..., timeout_sec)` →
+            `minimize_with_timeout`): iterations run in compiled chunks
+            and the best-so-far candidates are returned on expiry.
 
     Returns:
         `(candidates (q, d), value)` — or, with `return_full`, the per-
@@ -235,6 +240,7 @@ def optimize_acqf(
         bounds=(lo, hi),
         maxiter=maxiter,
         shard_fn=shard_fn,
+        timeout_sec=timeout_sec,
     )
     vals = jnp.where(jnp.isfinite(res.fun), -res.fun, -jnp.inf)
     cands = res.x.reshape(num_restarts, q, d)
