@@ -41,7 +41,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
-from botorch_tpu.ops.chol import add_jitter, cholesky_solve, psd_safe_cholesky
+from botorch_tpu.ops.chol import (
+    add_jitter,
+    chol_logdet,
+    cholesky_solve,
+    psd_safe_cholesky,
+)
 from botorch_tpu.utils.probability import log_ndtr, ndtr, phi
 from botorch_tpu.utils.safe_math import log1mexp
 
@@ -185,8 +190,25 @@ def _entropy_cells_noisy(mu, sigma2, noise, lower, upper):
 # ====================================================================== #
 # MO-JES
 # ====================================================================== #
+def _joint_entropy_with_noise(cov: Array, noise: Array) -> Array:
+    """Joint entropy of the q-point, independent-output Gaussian
+    observation `y`: `cov (m, q, q)` latent covariance + per-output noise."""
+    q = cov.shape[-1]
+
+    def one(o):
+        C = cov[o] + noise[o] * jnp.eye(q)
+        L = psd_safe_cholesky(C)
+        return q * _half_log_2pi_e + 0.5 * chol_logdet(L)
+
+    return jnp.sum(jax.vmap(one)(jnp.arange(cov.shape[0])))
+
+
 class qMultiObjectiveJointEntropySearch(struct.PyTreeNode):
-    """MO-JES for q = 1. Built by `make_mo_jes`."""
+    """MO-JES. Built by `make_mo_jes`. For `q > 1` candidates the
+    conditional entropy uses the reference's only-diagonal ("LB2")
+    estimator (`joint_entropy_search.py:526+`): per-candidate truncated
+    marginal entropies summed over the q-batch, subtracted from the exact
+    joint initial entropy."""
 
     model: SingleTaskGP
     cache: tuple
@@ -199,18 +221,17 @@ class qMultiObjectiveJointEntropySearch(struct.PyTreeNode):
     def __call__(self, X: Array) -> Array:
         m = self.model
         noise = _output_noise(m)
+        X = jnp.atleast_2d(X)  # (q, d)
+        q = X.shape[0]
         post = m.posterior(X, cache=self.cache)
-        var0 = jnp.clip(post.variance[..., 0, :], 1e-12)
-        h0 = jnp.sum(_half_log_2pi_e + 0.5 * jnp.log(var0 + noise))
-
-        x = jnp.atleast_2d(X)[0]
+        h0 = _joint_entropy_with_noise(post.cov, noise)
 
         def per_front(xs, ys, pm, lo, up):
             P = xs.shape[0]
-            pts = jnp.concatenate([xs, x[None, :]], axis=0)
+            pts = jnp.concatenate([xs, X], axis=0)
             joint = m.posterior(pts, cache=self.cache)
-            mean = joint.mean  # (P+1, m)
-            cov = joint.cov  # (m, P+1, P+1)
+            mean = joint.mean  # (P+q, m)
+            cov = joint.cov  # (m, P+q, P+q)
 
             def per_output(o):
                 # condition on NOISY front observations: float32-robust
@@ -221,18 +242,20 @@ class qMultiObjectiveJointEntropySearch(struct.PyTreeNode):
                 # decouple padded pareto entries: identity rows/cols
                 pair = pm[:, None] * pm[None, :]
                 S = S * pair + (1.0 - pair) * jnp.eye(P)
-                c = cov[o, :P, P] * pm
+                C = cov[o, :P, P:] * pm[:, None]  # (P, q)
                 resid = (ys[:, o] - mean[:P, o]) * pm
                 L = psd_safe_cholesky(S)
-                w = cholesky_solve(L, resid[:, None])[:, 0]
-                mu_c = mean[P, o] + jnp.dot(c, w)
-                v_c = cov[o, P, P] - jnp.dot(
-                    c, cholesky_solve(L, c[:, None])[:, 0]
-                )
+                W = cholesky_solve(L, C)  # (P, q)
+                mu_c = mean[P:, o] + W.T @ resid  # (q,)
+                v_c = jnp.diagonal(cov[o, P:, P:]) - jnp.sum(C * W, axis=0)
                 return mu_c, jnp.clip(v_c, 1e-12)
 
             mus, vs = jax.vmap(per_output)(jnp.arange(m.num_outputs))
-            return _entropy_cells_noisy(mus, vs, noise, lo, up)
+            # (m, q) -> per-candidate cell-truncated entropies, summed
+            def per_candidate(j):
+                return _entropy_cells_noisy(mus[:, j], vs[:, j], noise, lo, up)
+
+            return jnp.sum(jax.vmap(per_candidate)(jnp.arange(q)))
 
         hks = jax.vmap(per_front)(
             self.X_star, self.Y_star, self.pmask, self.cell_lower, self.cell_upper
@@ -303,7 +326,10 @@ def _ep_refresh(K0: Array, mu0: Array, A: Array, tau: Array, nu: Array, jitter=1
 
 
 class qMultiObjectivePredictiveEntropySearch(struct.PyTreeNode):
-    """MO-PES for q = 1. Built by `make_mo_pes`."""
+    """MO-PES. Built by `make_mo_pes`. For `q > 1` the candidate block's
+    q x q conditioned covariance gets the exact joint update from all
+    `P x q` single-pass test-point sites ("no candidate dominates any
+    Pareto point"), and the conditional entropy is its joint log-det."""
 
     model: SingleTaskGP
     cache: tuple
@@ -317,61 +343,73 @@ class qMultiObjectivePredictiveEntropySearch(struct.PyTreeNode):
     def __call__(self, X: Array) -> Array:
         m = self.model
         noise = _output_noise(m)
+        X = jnp.atleast_2d(X)  # (q, d)
+        q = X.shape[0]
         post = m.posterior(X, cache=self.cache)
-        var0 = jnp.clip(post.variance[..., 0, :], 1e-12)
-        h0 = jnp.sum(_half_log_2pi_e + 0.5 * jnp.log(var0 + noise))
-        x = jnp.atleast_2d(X)[0]
+        h0 = _joint_entropy_with_noise(post.cov, noise)
         P = self.X_star.shape[1]
         n = m.num_train
-        n_pts = P + n + 1  # [pareto | train | x]
+        n_pts = P + n + q  # [pareto | train | candidates]
         si = jnp.asarray(self.site_i)
         sj = jnp.asarray(self.site_j)
         n_sites = si.shape[0]
         A = jnp.zeros((n_sites, n_pts))
         A = A.at[jnp.arange(n_sites), si].set(1.0)
         A = A.at[jnp.arange(n_sites), sj].add(-1.0)
+        # test-site projections: u_{ij} = f(x*_i) - f(x_j) for each
+        # (pareto i, candidate j) pair
+        ti = jnp.repeat(jnp.arange(P), q)
+        tj = P + n + jnp.tile(jnp.arange(q), P)
+        n_test = P * q
+        At = jnp.zeros((n_test, n_pts))
+        At = At.at[jnp.arange(n_test), ti].set(1.0)
+        At = At.at[jnp.arange(n_test), tj].add(-1.0)
 
         def per_front(xs, pm, tau_k, nu_k):
-            pts = jnp.concatenate([xs, m.X, x[None, :]], axis=0)
+            pts = jnp.concatenate([xs, m.X, X], axis=0)
             joint = m.posterior(pts, cache=self.cache)
 
             def per_output(o):
                 mu0 = joint.mean[:, o]
                 K0 = add_jitter(joint.cov[o], 1e-6)
                 mu_c, K_c = _ep_refresh(K0, mu0, A, tau_k[:, o], nu_k[:, o])
-                # single-pass test-point factors: x must not dominate any
-                # pareto point (`u_im = f_m(x*_i) - f_m(x) >= 0` not all <= 0)
-                m_i = mu_c[:P]
-                v_i = jnp.clip(jnp.diagonal(K_c)[:P], 1e-10)
-                m_x = mu_c[-1]
-                v_x = jnp.clip(K_c[-1, -1], 1e-10)
-                c_ix = K_c[:P, -1]
-                m_u = (m_i - m_x) * pm
-                v_u = jnp.clip(v_i + v_x - 2.0 * c_ix, 1e-8)
-                return m_u, v_u, m_x, v_x, c_ix - v_x  # a_i K e_x = c_ix - v_x
+                # cavity moments of the test differences under the
+                # EP-conditioned joint
+                m_u = (At @ mu_c) * pm[ti]
+                v_u = jnp.clip(
+                    jnp.einsum("sn,nm,sm->s", At, K_c, At), 1e-8
+                )
+                return m_u, v_u, mu_c, K_c
 
-            m_us, v_us, m_xs, v_xs, pr_xs = jax.vmap(per_output)(
+            m_us, v_us, mu_cs, K_cs = jax.vmap(per_output)(
                 jnp.arange(m.num_outputs)
             )
-            # moment-match each test factor i across objectives jointly
-            def per_site(i):
-                m_cav = m_us[:, i]
-                v_cav = v_us[:, i]
+            # moment-match each test factor (i, j) across objectives: the
+            # candidate x_j must not dominate pareto point x*_i
+            def per_site(s):
+                m_cav = m_us[:, s]
+                v_cav = v_us[:, s]
                 m_tilt, v_tilt = _tilted_updates(m_cav, v_cav)
                 t_new = jnp.clip(1.0 / v_tilt - 1.0 / v_cav, 0.0, 1e6)
                 return t_new  # (m,)
 
-            t_sites = jax.vmap(per_site)(jnp.arange(P))  # (P, m)
-            t_sites = t_sites * pm[:, None]
-            # rank-P correction of the x-marginal variance per objective:
-            # v_x_new = v_x - sum_i t_i (a_i K e_x)^2 / (1 + t_i a_i K a_i)
-            # (diagonal-site approximation of the joint update)
-            denom = 1.0 + t_sites.T * v_us  # (m, P)
-            v_corr = jnp.sum(
-                t_sites.T * jnp.square(pr_xs) / denom, axis=-1
-            )
-            v_final = jnp.clip(v_xs - v_corr, 1e-10)
-            return jnp.sum(_half_log_2pi_e + 0.5 * jnp.log(v_final + noise))
+            t_sites = jax.vmap(per_site)(jnp.arange(n_test))  # (n_test, m)
+            t_sites = t_sites * pm[ti][:, None]
+
+            # exact joint update of the candidate block per objective:
+            # K_upd = K - K At^T (I + T At K At^T)^-1 T At K,  T = diag(t)
+            def upd_o(o):
+                K_c = K_cs[o]
+                t = t_sites[:, o]
+                AK = At @ K_c  # (n_test, n_pts)
+                M = jnp.eye(n_test) + t[:, None] * (AK @ At.T)
+                Z = jnp.linalg.solve(M, t[:, None] * AK)
+                K_upd = K_c - AK.T @ Z
+                Kxx = K_upd[P + n :, P + n :] + noise[o] * jnp.eye(q)
+                L = psd_safe_cholesky(Kxx)
+                return q * _half_log_2pi_e + 0.5 * chol_logdet(L)
+
+            return jnp.sum(jax.vmap(upd_o)(jnp.arange(m.num_outputs)))
 
         hks = jax.vmap(per_front)(self.X_star, self.pmask, self.ep_tau, self.ep_nu)
         return h0 - jnp.mean(hks)

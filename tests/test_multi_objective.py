@@ -574,3 +574,32 @@ def test_mo_jes_pes_optimize():
         )
         assert cand.shape == (1, 2)
         assert np.isfinite(float(val))
+
+
+def test_mo_jes_pes_qbatch():
+    """q > 1 estimators: joint initial entropy minus per-candidate (JES,
+    LB2/only-diagonal) or joint-logdet (PES) conditional entropies; the
+    q=2 value of two identical candidates must be LESS than 2x the q=1
+    value (information sub-additivity under duplication)."""
+    from botorch_tpu.acquisition.multi_objective_entropy_search import (
+        make_mo_jes,
+        make_mo_pes,
+    )
+
+    model = _toy_mo_model(n=8)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    for mk in (make_mo_jes, make_mo_pes):
+        acqf = mk(
+            model, bounds, jax.random.PRNGKey(3),
+            num_pareto_samples=2, num_pareto_points=4,
+            grid_size=64, num_features=64,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(4), (1, 2))
+        v1 = float(acqf(x))
+        vdup = float(acqf(jnp.concatenate([x, x], axis=0)))
+        assert np.isfinite(vdup)
+        assert vdup < 2.0 * v1 + 1e-4, (mk.__name__, v1, vdup)
+        g = jax.grad(lambda z: acqf(z))(
+            jax.random.uniform(jax.random.PRNGKey(5), (2, 2))
+        )
+        assert np.isfinite(np.asarray(g)).all()
