@@ -128,6 +128,57 @@ class WeldedBeamSO(ConstrainedSyntheticTestFunction):
         return jnp.stack([g1, g2, g3, g4, g5, g6], axis=-1)
 
 
+class SpeedReducer(ConstrainedSyntheticTestFunction):
+    """7-d speed-reducer design with 11 black-box constraints (reference
+    `synthetic.py:1120`, [Lemonge2010constrained])."""
+
+    dim = 7
+    num_constraints = 11
+    _bounds = [
+        (2.6, 3.6),
+        (0.7, 0.8),
+        (17.0, 28.0),
+        (7.3, 8.3),
+        (7.8, 8.3),
+        (2.9, 3.9),
+        (5.0, 5.5),
+    ]
+    _optimal_value = 2996.3482
+    _optimizers = []
+
+    def evaluate_true(self, X):
+        x1, x2, x3, x4, x5, x6, x7 = (X[..., i] for i in range(7))
+        return (
+            0.7854 * x1 * x2**2 * (3.3333 * x3**2 + 14.9334 * x3 - 43.0934)
+            - 1.508 * x1 * (x6**2 + x7**2)
+            + 7.4777 * (x6**3 + x7**3)
+            + 0.7854 * (x4 * x6**2 + x5 * x7**2)
+        )
+
+    def evaluate_slack(self, X):
+        x1, x2, x3, x4, x5, x6, x7 = (X[..., i] for i in range(7))
+        return -jnp.stack(
+            [
+                27.0 / (x1 * x2**2 * x3) - 1.0,
+                397.5 / (x1 * x2**2 * x3**2) - 1.0,
+                1.93 * x4**3 / (x2 * x3 * x6**4) - 1.0,
+                1.93 * x5**3 / (x2 * x3 * x7**4) - 1.0,
+                jnp.sqrt(jnp.square(745.0 * x4 / (x2 * x3)) + 16.9e6)
+                / (0.1 * x6**3)
+                - 1100.0,
+                jnp.sqrt(jnp.square(745.0 * x5 / (x2 * x3)) + 157.5e6)
+                / (0.1 * x7**3)
+                - 850.0,
+                x2 * x3 - 40.0,
+                5.0 - x1 / x2,
+                x1 / x2 - 12.0,
+                (1.5 * x6 + 1.9) / x4 - 1.0,
+                (1.1 * x7 + 1.9) / x5 - 1.0,
+            ],
+            axis=-1,
+        )
+
+
 # --------------------------------------------------------------------------- #
 class AugmentedBranin(SyntheticTestFunction):
     """Branin with a fidelity parameter `s` as dim 2 (reference
@@ -173,6 +224,30 @@ class AugmentedHartmann(SyntheticTestFunction):
         a0 = 1.0 - 0.1 * (1.0 - s)
         vals = jnp.exp(-inner)
         return -(a0 * vals[..., 0] + jnp.sum(alpha[1:] * vals[..., 1:], axis=-1))
+
+
+class AugmentedRosenbrock(SyntheticTestFunction):
+    """Rosenbrock with the last two dims as fidelity parameters (reference
+    `multi_fidelity.py:114`); minimum 0 at (1, ..., 1) and full fidelity."""
+
+    _optimal_value = 0.0
+
+    def __init__(self, dim: int = 3, **kw):
+        if dim < 3:
+            raise ValueError("AugmentedRosenbrock needs dim >= 3")
+        self.dim = dim
+        self._bounds = [(-5.0, 10.0)] * dim
+        self._optimizers = [tuple(1.0 for _ in range(dim))]
+        super().__init__(**kw)
+
+    def evaluate_true(self, X):
+        X_curr = X[..., :-3]
+        X_next = X[..., 1:-2]
+        t1 = 100.0 * jnp.square(
+            X_next - jnp.square(X_curr) + 0.1 * (1.0 - X[..., -2:-1])
+        )
+        t2 = jnp.square(X_curr - 1.0 + 0.1 * jnp.square(1.0 - X[..., -1:]))
+        return jnp.sum(t1 + t2, axis=-1)
 
 
 # --------------------------------------------------------------------------- #
@@ -239,5 +314,5 @@ class Morris(SyntheticTestFunction):
 
 CONSTRAINED_PROBLEMS = {
     c.__name__: c
-    for c in [PressureVessel, TensionCompressionString, WeldedBeamSO]
+    for c in [PressureVessel, TensionCompressionString, WeldedBeamSO, SpeedReducer]
 }
