@@ -293,13 +293,27 @@ def make_mc_acqf(
     num_samples: int = DEFAULT_MC_SAMPLES,
     seed: int = 0,
     X_pending: Optional[Array] = None,
+    prune_baseline: bool = False,
     **kwargs,
 ):
     """Construct an MC acqf with cached train root + qMC base samples.
 
     For noisy variants pass `X_baseline=` in kwargs; the base-sample block
-    covers `n_baseline + q (+ n_pending)` points.
+    covers `n_baseline + q (+ n_pending)` points. `prune_baseline=True`
+    drops baseline points with zero empirical probability of being the best
+    before caching (reference `monte_carlo.py:417` / `logei.py:237`
+    `prune_baseline`, via `acquisition/utils.py:245`).
     """
+    if prune_baseline and kwargs.get("X_baseline") is not None:
+        from botorch_tpu.acquisition.utils import prune_inferior_points
+
+        kwargs["X_baseline"] = prune_inferior_points(
+            model,
+            kwargs["X_baseline"],
+            objective=kwargs.get("objective"),
+            constraints=kwargs.get("constraints"),
+            seed=seed,
+        )
     q_total = q
     if X_pending is not None:
         q_total += X_pending.shape[-2]

@@ -267,14 +267,26 @@ def make_qnehvi(
     X_baseline: Array,
     num_samples: int = DEFAULT_MC_SAMPLES,
     seed: int = 0,
+    prune_baseline: bool = False,
     **kwargs,
 ):
     """Build q(Log)NEHVI with fixed base samples; m >= 3 precomputes
     per-sample cells host-side from the (deterministic) baseline samples
-    (the cached-cell construction, `hypervolume.py:654-833`)."""
+    (the cached-cell construction, `hypervolume.py:654-833`).
+    `prune_baseline=True` keeps only baseline points with nonzero empirical
+    probability of being Pareto-optimal (reference
+    `multi_objective/monte_carlo.py:325` ctor option)."""
     m = model.num_outputs
-    nb = X_baseline.shape[-2]
     ref_point = jnp.asarray(ref_point)
+    if prune_baseline:
+        from botorch_tpu.acquisition.utils import (
+            prune_inferior_points_multi_objective,
+        )
+
+        X_baseline = prune_inferior_points_multi_objective(
+            model, X_baseline, ref_point, seed=seed
+        )
+    nb = X_baseline.shape[-2]
     masks, signs = _subset_masks(q)
     base = _draw_base_samples(nb + q, m, num_samples, seed)
     acqf = cls(

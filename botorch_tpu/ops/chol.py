@@ -19,16 +19,24 @@ Array = jax.Array
 
 # Relative jitter always added before factorization (float32 regime).
 DEFAULT_JITTER = 1e-6
-# Escalation ladder for `psd_safe_cholesky` (relative to mean diagonal).
-_JITTER_LADDER = (0.0, 1e-6, 1e-4, 1e-2)
+# Escalation ladder for `psd_safe_cholesky` (relative to mean |diagonal|).
+# The top rungs look extreme, but they only engage for near-zero covariances
+# (e.g. a noiseless posterior evaluated AT the training points) where the
+# f32 cancellation error exceeds the diagonal scale itself; there, inflating
+# the factor is the correct rescue (the matrix is numerically zero).
+_JITTER_LADDER = (0.0, 1e-6, 1e-4, 1e-2, 1e-1, 1.0, 1e2)
+# Absolute floor on the jitter scale so degenerate (≈0 or indefinite-from-
+# roundoff) diagonals still receive a usable jitter.
+_SCALE_FLOOR = 1e-10
 
 
 def add_jitter(A: Array, jitter: float = DEFAULT_JITTER) -> Array:
-    """Add `jitter * mean(diag(A))` to the diagonal."""
+    """Add `jitter * max(mean(|diag(A)|), floor)` to the diagonal."""
     n = A.shape[-1]
-    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)
+    diag_mean = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1)
+    scale = jnp.maximum(diag_mean, jnp.asarray(_SCALE_FLOOR, dtype=A.dtype))
     eye = jnp.eye(n, dtype=A.dtype)
-    return A + (jitter * diag_mean)[..., None, None] * eye
+    return A + (jitter * scale)[..., None, None] * eye
 
 
 def cholesky(A: Array, jitter: float = DEFAULT_JITTER) -> Array:
