@@ -47,6 +47,7 @@ class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
     q: int = struct.field(pytree_node=False, default=1)
     num_fantasies: int = struct.field(pytree_node=False, default=8)
     q_inner: int = struct.field(pytree_node=False, default=8)
+    project: object = struct.field(pytree_node=False, default=None)
 
     def get_augmented_q_batch_size(self) -> int:
         return self.q + self.num_fantasies * self.q_inner
@@ -59,6 +60,10 @@ class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
         q, nf, qi = self.q, self.num_fantasies, self.q_inner
         X_actual = X_full[:q]
         X_sol = X_full[q:].reshape(nf, qi, -1)
+        if self.project is not None:
+            # MF variant: value fantasy solutions at the target fidelity
+            # (reference `hypervolume_knowledge_gradient.py:293`)
+            X_sol = self.project(X_sol)
 
         # fantasy observations at X_actual (all outputs, obs noise)
         post = m.posterior(X_actual, observation_noise=True, cache=self.cache)
@@ -117,6 +122,7 @@ def make_qhvkg(
     num_fantasies: int = 8,
     q_inner: int = 8,
     seed: int = 0,
+    project=None,
 ) -> qHypervolumeKnowledgeGradient:
     import numpy as np
 
@@ -145,4 +151,32 @@ def make_qhvkg(
         q=q,
         num_fantasies=num_fantasies,
         q_inner=q_inner,
+        project=project,
     )
+
+
+def make_qmfhvkg(
+    model: SingleTaskGP,
+    ref_point: Array,
+    project,
+    cost_fn=None,
+    Y_baseline: Optional[Array] = None,
+    q: int = 1,
+    num_fantasies: int = 8,
+    q_inner: int = 8,
+    seed: int = 0,
+):
+    """`qMultiFidelityHypervolumeKnowledgeGradient` (reference
+    `hypervolume_knowledge_gradient.py:293`): qHVKG whose fantasy solutions
+    are projected to the target fidelity, optionally inverse-cost-weighted
+    (compose `cost_fn` e.g. `wrappers.affine_fidelity_cost`)."""
+    acqf = make_qhvkg(
+        model, ref_point, Y_baseline=Y_baseline, q=q,
+        num_fantasies=num_fantasies, q_inner=q_inner, seed=seed,
+        project=project,
+    )
+    if cost_fn is None:
+        return acqf
+    from botorch_tpu.acquisition.wrappers import CostAwareAcquisitionFunction
+
+    return CostAwareAcquisitionFunction(acqf=acqf, cost_fn=cost_fn)

@@ -237,3 +237,38 @@ def make_mesmo(
     return qMultiObjectiveMaxValueEntropy(
         model=model, cache=cache, max_values=jnp.stack(mvs, axis=-1)
     )
+
+
+def make_mf_mes(
+    cls,
+    model: SingleTaskGP,
+    bounds: Array,
+    key,
+    project,
+    cost_fn=None,
+    num_max_values: int = 16,
+    grid_size: int = 1024,
+    seed: int = 0,
+):
+    """Multi-fidelity MES / GIBBON (reference
+    `max_value_entropy_search.py:667,815`
+    `qMultiFidelity(LowerBound)MaxValueEntropy`): max values are sampled
+    on a grid PROJECTED to the target fidelity, and the information gain
+    is inverse-cost-weighted (pass `cost_fn`, e.g.
+    `wrappers.affine_fidelity_cost`; `None` for unweighted)."""
+    from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
+
+    d = bounds.shape[-1]
+    sv, shift = sobol_table(d, scramble=True, seed=seed)
+    grid = bounds[0] + (bounds[1] - bounds[0]) * draw_sobol(sv, shift, grid_size)
+    grid = project(grid)
+    cache = model.train_chol()
+    mv = sample_max_values_gumbel(
+        model, grid, key, num_samples=num_max_values, cache=cache
+    )
+    acqf = cls(model=model, cache=cache, max_values=mv)
+    if cost_fn is None:
+        return acqf
+    from botorch_tpu.acquisition.wrappers import CostAwareAcquisitionFunction
+
+    return CostAwareAcquisitionFunction(acqf=acqf, cost_fn=cost_fn)

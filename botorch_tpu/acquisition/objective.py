@@ -183,3 +183,77 @@ def mars_risk(n_w: int, weights: Array, Y_bounds: Array, alpha: float = 0.8):
         return vals[..., n_w - 1 - k]
 
     return obj
+
+
+def get_objective_weights_transform(weights: Optional[Array]):
+    """Sample-wise linear scalarization `sum_m w_m y_m`
+    (reference `utils/objective.py` `get_objective_weights_transform` /
+    `LinearMCObjective`, `acquisition/objective.py:301`). `weights=None`
+    squeezes a single output."""
+    if weights is None:
+        return lambda samples: samples[..., 0]
+    w = jnp.asarray(weights)
+    return lambda samples: jnp.sum(samples * w, axis=-1)
+
+
+def get_chebyshev_scalarization(
+    weights: Array, Y: Array, alpha: float = 0.05
+):
+    """Augmented Chebyshev scalarization with the reference's exact
+    semantics (`utils/multi_objective/scalarization.py:27-111`):
+    outcomes normalized to [0,1] by the observed bounds ([-1,0] for
+    negative-weight/minimized objectives), `-(max_i w_i (-y_i)
+    + alpha sum_i w_i (-y_i))` returned for maximization. With `n=0`
+    observed outcomes, values are left unnormalized."""
+    weights = jnp.asarray(weights)
+    if Y.shape[-1] != weights.shape[-1]:
+        raise ValueError("weights must be m-dim where Y is (n, m)")
+    Y_min = -Y  # the reference works in minimization space
+
+    if Y.shape[0] > 0:
+        lo = jnp.min(Y_min, axis=0)
+        hi = jnp.max(Y_min, axis=0)
+        rng = jnp.where(hi - lo < 1e-12, 1.0, hi - lo)
+
+        def normalize(y):
+            yn = (y - lo) / rng
+            # minimization objectives (negative weights) shift to [-1, 0]
+            return jnp.where(weights < 0, yn - 1.0, yn)
+
+    else:
+
+        def normalize(y):
+            return y
+
+    def obj(samples: Array) -> Array:
+        prod = weights * normalize(-samples)
+        return -(jnp.max(prod, axis=-1) + alpha * jnp.sum(prod, axis=-1))
+
+    return obj
+
+
+def learned_objective(pref_model, num_pref_samples: int = 1, seed: int = 0):
+    """`LearnedObjective` (reference `acquisition/objective.py:474`): maps
+    outcome samples `(..., q, m)` through a learned utility model (a
+    `PairwiseGP` posterior over outcome space), expanding the MC-sample
+    axis by `num_pref_samples` utility draws per outcome sample."""
+    from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
+
+    def obj(samples: Array) -> Array:
+        shape = samples.shape  # (..., q, m)
+        flat = samples.reshape(-1, shape[-1])  # (B*q, m)
+        post = pref_model.posterior(flat)
+        mean = post.mean[..., 0]  # (B*q,)
+        sd = jnp.sqrt(jnp.maximum(post.variance[..., 0], 1e-12))
+        if num_pref_samples == 1:
+            util = mean.reshape(shape[:-1])
+            return util
+        z = draw_sobol_normal_samples(
+            flat.shape[0], num_pref_samples, seed=seed
+        )  # (k, B*q)
+        util = mean + sd * z
+        return util.reshape(num_pref_samples, *shape[:-1]).reshape(
+            -1, *shape[1:-1]
+        )
+
+    return obj

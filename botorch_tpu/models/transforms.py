@@ -335,3 +335,118 @@ class TransformedModel(struct.PyTreeNode):
 
     def __getattr__(self, name):
         return getattr(object.__getattribute__(self, "model"), name)
+
+
+# --------------------------------------------------------------------------- #
+# Rounding helpers + factory (reference `utils/rounding.py`,
+# `models/transforms/factory.py:125`)
+# --------------------------------------------------------------------------- #
+def approximate_round(X: Array, tau: float = 1e-3) -> Array:
+    """Differentiable piecewise-tanh rounding
+    (reference `utils/rounding.py:27-45`)."""
+    offset = jnp.floor(X)
+    rounding_component = (jnp.tanh((X - offset - 0.5) / tau) + 1.0) / 2.0
+    return offset + rounding_component
+
+
+def one_hot_argmax_ste(X: Array) -> Array:
+    """STE one-hot argmax over the last dim (reference
+    `utils/rounding.py` `OneHotArgmaxSTE`): hard one-hot forward,
+    identity gradient."""
+    hard = jax.nn.one_hot(jnp.argmax(X, axis=-1), X.shape[-1], dtype=X.dtype)
+    return X + jax.lax.stop_gradient(hard - X)
+
+
+class RoundSTE(struct.PyTreeNode):
+    """Integer + one-hot-categorical rounding with STE (or tanh-
+    approximate) gradients (reference `transforms/input.py:719` `Round`).
+
+    `categorical_features`: tuple of `(start, cardinality)` one-hot blocks.
+    """
+
+    integer_indices: tuple = struct.field(pytree_node=False, default=())
+    categorical_features: tuple = struct.field(pytree_node=False, default=())
+    approximate: bool = struct.field(pytree_node=False, default=False)
+    tau: float = struct.field(pytree_node=False, default=1e-3)
+
+    def transform(self, X: Array) -> Array:
+        if self.integer_indices:
+            rnd = (
+                approximate_round(X, self.tau)
+                if self.approximate
+                else ste_round(X)
+            )
+            mask = (
+                jnp.zeros(X.shape[-1], bool)
+                .at[jnp.asarray(self.integer_indices)]
+                .set(True)
+            )
+            X = jnp.where(mask, rnd, X)
+        for start, card in self.categorical_features:
+            block = X[..., start : start + card]
+            if self.approximate:
+                block = jax.nn.softmax(block / self.tau, axis=-1)
+            else:
+                block = one_hot_argmax_ste(block)
+            X = jnp.concatenate(
+                [X[..., :start], block, X[..., start + card :]], axis=-1
+            )
+        return X
+
+    def untransform(self, X: Array) -> Array:
+        return X
+
+
+def get_rounding_input_transform(
+    one_hot_bounds: Array,
+    integer_indices: Optional[tuple] = None,
+    categorical_features: Optional[tuple] = None,
+    initialization: bool = False,
+    return_numeric: bool = False,
+    approximate: bool = False,
+) -> ChainedInputTransform:
+    """Unit-cube -> raw space -> round -> unit-cube chained transform
+    (reference `models/transforms/factory.py:21-125`).
+
+    Args:
+        one_hot_bounds: `(2, d)` raw bounds with categoricals one-hot.
+        integer_indices: indices of integer dims (contiguous ranges).
+        categorical_features: tuple of `(start, cardinality)` blocks.
+        initialization: widen integer bounds by ±(0.5 - ε) so the
+            initializer's rounded values cover the extreme integers
+            uniformly (reference `:99-107`).
+        return_numeric: append a OneHotToNumeric collapse at the end.
+        approximate: use tanh-approximate rounding instead of STE.
+    """
+    integer_indices = tuple(integer_indices or ())
+    categorical_features = tuple(categorical_features or ())
+    bounds = jnp.asarray(one_hot_bounds, jnp.float32)
+    if initialization and integer_indices:
+        idx = jnp.asarray(integer_indices)
+        bounds = bounds.at[0, idx].add(-0.4999).at[1, idx].add(0.4999)
+    chain = [
+        _Unnormalize(bounds=bounds),
+        RoundSTE(
+            integer_indices=integer_indices,
+            categorical_features=categorical_features,
+            approximate=approximate,
+        ),
+        Normalize(bounds=jnp.asarray(one_hot_bounds, jnp.float32)),
+    ]
+    if return_numeric and categorical_features:
+        chain.append(
+            OneHotToNumeric(categorical_features=categorical_features)
+        )
+    return ChainedInputTransform(transforms=tuple(chain))
+
+
+class _Unnormalize(struct.PyTreeNode):
+    """Inverse of `Normalize` as a forward transform (factory internal)."""
+
+    bounds: Array
+
+    def transform(self, X: Array) -> Array:
+        return Normalize(bounds=self.bounds).untransform(X)
+
+    def untransform(self, X: Array) -> Array:
+        return Normalize(bounds=self.bounds).transform(X)

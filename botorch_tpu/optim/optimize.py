@@ -263,3 +263,99 @@ def optimize_acqf_discrete(
     vals = jax.lax.map(acqf, X, batch_size=min(max_batch_size, X.shape[0]))
     _, idx = jax.lax.top_k(vals, q)
     return choices[idx], vals[idx]
+
+
+def gen_one_shot_kg_initial_conditions(
+    acqf,
+    bounds: Array,
+    num_restarts: int,
+    raw_samples: int,
+    key: Optional[Array] = None,
+    frac_random: float = 0.1,
+    seed: int = 0,
+) -> Array:
+    """One-shot KG/HVKG initial conditions (reference
+    `optim/initializers.py:441-560`).
+
+    Standard q-batch ICs are generated for the AUGMENTED problem
+    `q_aug = q + num_fantasies`; then, with probability `1 - frac_random`,
+    each fantasy coordinate is replaced by a maximizer of the current
+    posterior mean (the fantasy "solutions" should sit near where the
+    value function peaks, which is what makes one-shot KG optimizable).
+
+    Args:
+        acqf: a one-shot acqf exposing `get_augmented_q_batch_size()`,
+            `q`, and `model`.
+        bounds: `(2, d)` box.
+        frac_random: fraction of fantasy coordinates kept random.
+
+    Returns:
+        `(num_restarts, q_aug, d)` initial conditions.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    q_aug = acqf.get_augmented_q_batch_size()
+    q = acqf.q
+    d = bounds.shape[-1]
+    k_ic, k_pm, k_choice, k_bern = jax.random.split(key, 4)
+    ics = gen_batch_initial_conditions(
+        acqf, bounds, q_aug, num_restarts, raw_samples, key=k_ic, seed=seed
+    )
+
+    # maximizers of the posterior mean (value-function proxies)
+    model = acqf.model
+
+    def post_mean(Xq):  # (1, d) -> scalar
+        return model.posterior(Xq).mean[..., 0, 0]
+
+    maximizers, _ = optimize_acqf(
+        post_mean,
+        bounds,
+        q=1,
+        num_restarts=max(2, num_restarts // 2),
+        raw_samples=raw_samples,
+        key=k_pm,
+        seed=seed + 1,
+        return_full=True,
+    )
+    maximizers = maximizers[:, 0, :]  # (n_max, d)
+
+    n_fant = q_aug - q
+    pick = jax.random.randint(
+        k_choice, (num_restarts, n_fant), 0, maximizers.shape[0]
+    )
+    repl = maximizers[pick]  # (num_restarts, n_fant, d)
+    keep_random = (
+        jax.random.uniform(k_bern, (num_restarts, n_fant, 1)) < frac_random
+    )
+    fant = jnp.where(keep_random, ics[:, q:, :], repl)
+    return jnp.concatenate([ics[:, :q, :], fant], axis=-2)
+
+
+def initialize_q_batch_nonneg(
+    key: Array,
+    X: Array,
+    acq_vals: Array,
+    n: int,
+    eta: float = 1.0,
+    alpha: float = 1e-4,
+) -> Array:
+    """Boltzmann IC selection for NONNEGATIVE acquisition values
+    (reference `initializers.py:968-1037`): candidates whose value is below
+    `alpha * max` are excluded from sampling (the reference lowers alpha
+    until enough remain; here the Gumbel-top-k over the restricted set
+    plays that role, falling back to the unrestricted rule if fewer than
+    `n` candidates qualify)."""
+    vals = jnp.where(jnp.isfinite(acq_vals), acq_vals, -jnp.inf)
+    vmax = jnp.max(vals)
+    ok = vals > alpha * vmax
+    enough = jnp.sum(ok) >= n
+    gated = jnp.where(ok | ~enough, vals, -jnp.inf)
+    return initialize_q_batch(key, X, gated, n, eta=eta)
+
+
+def get_best_candidates(batch_candidates: Array, batch_values: Array) -> Array:
+    """Select the best restart's candidates (reference
+    `generation/gen.py:427`); non-finite values are excluded."""
+    vals = jnp.where(jnp.isfinite(batch_values), batch_values, -jnp.inf)
+    return batch_candidates[jnp.argmax(vals)]

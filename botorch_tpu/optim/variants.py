@@ -253,3 +253,51 @@ def optimize_acqf_homotopy(
         )
         ics = cand[None, :, :]  # warm start: single restart from previous
     return cand, val
+
+
+# --------------------------------------------------------------------------- #
+# Named homotopy schedules (reference `optim/homotopy.py:17-94`)
+# --------------------------------------------------------------------------- #
+class FixedHomotopySchedule:
+    """Explicit list of parameter values (reference `homotopy.py:17`)."""
+
+    def __init__(self, values: Sequence[float]):
+        self._values = list(values)
+
+    @property
+    def num_steps(self) -> int:
+        return len(self._values)
+
+    @property
+    def values(self) -> list:
+        return list(self._values)
+
+    def __iter__(self):
+        return iter(self._values)
+
+
+class LinearHomotopySchedule(FixedHomotopySchedule):
+    """Linearly spaced schedule (reference `homotopy.py:48`)."""
+
+    def __init__(self, start: float, end: float, num_steps: int):
+        super().__init__(list(np.linspace(start, end, num_steps)))
+
+
+class LogLinearHomotopySchedule(FixedHomotopySchedule):
+    """Log-linearly spaced schedule (reference `homotopy.py:64`)."""
+
+    def __init__(self, start: float, end: float, num_steps: int):
+        super().__init__(log_linear_schedule(start, end, num_steps))
+
+
+class HomotopyParameter:
+    """A (setter, schedule) pair consumable by `Homotopy`
+    (reference `homotopy.py:78`: parameter reference + schedule)."""
+
+    def __init__(self, setter: Callable[[float], None],
+                 schedule: FixedHomotopySchedule):
+        self.setter = setter
+        self.schedule = schedule
+
+    def as_pair(self) -> tuple:
+        return (self.setter, self.schedule.values)

@@ -94,3 +94,81 @@ class MultiTaskDataset(struct.PyTreeNode):
 
     def joint_Y(self) -> Array:
         return jnp.concatenate([ds.Y for ds in self.datasets], axis=0)
+
+
+class ContextualDataset(struct.PyTreeNode):
+    """Contextual-BO dataset (reference `datasets.py:496`): per-outcome
+    datasets plus a context → feature-names decomposition (and optionally
+    a context → metric-names decomposition for LCE-M style models).
+
+    All sub-datasets must share X (the reference validates the same)."""
+
+    datasets: tuple = ()
+    parameter_decomposition: dict = struct.field(
+        pytree_node=False, default_factory=dict
+    )
+    metric_decomposition: Optional[dict] = struct.field(
+        pytree_node=False, default=None
+    )
+
+    @classmethod
+    def make(cls, datasets, parameter_decomposition, metric_decomposition=None):
+        datasets = tuple(datasets)
+        if not datasets:
+            raise ValueError("need at least one dataset")
+        feat = datasets[0].feature_names
+        for ds in datasets[1:]:
+            if ds.feature_names != feat:
+                raise ValueError("all datasets must share feature_names")
+            if ds.X.shape != datasets[0].X.shape or not bool(
+                jnp.allclose(ds.X, datasets[0].X)
+            ):
+                raise ValueError("all datasets must share the same X")
+        named = set(
+            n for names in parameter_decomposition.values() for n in names
+        )
+        if not named.issubset(set(feat)):
+            raise ValueError(
+                "parameter_decomposition names must be dataset features"
+            )
+        if metric_decomposition is not None:
+            if set(metric_decomposition) != set(parameter_decomposition):
+                raise ValueError(
+                    "metric_decomposition must cover the same contexts"
+                )
+            outs = set(n for ds in datasets for n in ds.outcome_names)
+            mnames = set(
+                n for names in metric_decomposition.values() for n in names
+            )
+            if not mnames.issubset(outs):
+                raise ValueError(
+                    "metric_decomposition names must be dataset outcomes"
+                )
+        return cls(
+            datasets=datasets,
+            parameter_decomposition=dict(parameter_decomposition),
+            metric_decomposition=(
+                None
+                if metric_decomposition is None
+                else dict(metric_decomposition)
+            ),
+        )
+
+    @property
+    def X(self) -> Array:
+        return self.datasets[0].X
+
+    @property
+    def context_names(self) -> tuple:
+        return tuple(self.parameter_decomposition)
+
+    def context_indices(self) -> dict:
+        """Map context name -> feature-column indices (decomposed_fns)."""
+        feat = list(self.datasets[0].feature_names)
+        return {
+            c: tuple(feat.index(n) for n in names)
+            for c, names in self.parameter_decomposition.items()
+        }
+
+    def joint_Y(self) -> Array:
+        return jnp.concatenate([ds.Y for ds in self.datasets], axis=-1)

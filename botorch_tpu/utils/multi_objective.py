@@ -357,3 +357,81 @@ def dominated_hypercell_bounds_np(pareto_Y: np.ndarray, ref_point: np.ndarray):
     keep = ~(up_min <= lo_min).any(axis=-1)
     lo_min, up_min = lo_min[keep], up_min[keep]
     return -up_min, -lo_min  # back to maximization coords
+
+
+def get_default_partitioning_alpha(num_objectives: int) -> float:
+    """Approximation level for box decompositions by objective count
+    (reference `acquisition/multi_objective/utils.py:47-64`): exact
+    (`alpha=0`) through 4 objectives, `10^(-8+m)` beyond (with the same
+    "EHVI works best for < 7 objectives" warning)."""
+    if num_objectives <= 4:
+        return 0.0
+    if num_objectives > 6:
+        import warnings
+
+        warnings.warn("EHVI works best for less than 7 objectives.")
+    return 10 ** (-8 + num_objectives)
+
+
+def approximate_pareto_Y(pareto_Y: np.ndarray, ref_point: np.ndarray,
+                         alpha: float) -> np.ndarray:
+    """Drop Pareto points whose exclusive-hypervolume contribution is below
+    `alpha * HV(front)` (the reference's `NondominatedPartitioning`
+    approximation knob, `box_decomposition.py` `_approx_pareto_Y`). Used to
+    bound cell counts for many-objective EHVI."""
+    if alpha <= 0 or len(pareto_Y) <= 1:
+        return pareto_Y
+    hv_full = dominated_hypervolume_np(pareto_Y, ref_point)
+    if hv_full <= 0:
+        return pareto_Y
+    keep = []
+    for i in range(len(pareto_Y)):
+        rest = np.delete(pareto_Y, i, axis=0)
+        contrib = hv_full - dominated_hypervolume_np(rest, ref_point)
+        keep.append(contrib > alpha * hv_full)
+    keep = np.asarray(keep)
+    if not keep.any():  # always keep at least the largest contributor
+        keep[np.argmax(pareto_Y.sum(-1))] = True
+    return pareto_Y[keep]
+
+
+class BoxDecompositionList:
+    """A batch of box decompositions with ragged cell counts
+    (reference `box_decompositions/box_decomposition_list.py`): stores one
+    decomposition per front and exposes padded, stackable cell bounds —
+    the static-shape form the TPU acqfs consume."""
+
+    def __init__(self, fronts, ref_point, alpha: float = 0.0):
+        self.ref_point = np.asarray(ref_point)
+        self.fronts = []
+        self.cells = []
+        for Y in fronts:
+            Y = np.asarray(Y)
+            nd = np.asarray(is_non_dominated(jnp.asarray(Y)))
+            front = Y[nd]
+            front = front[(front > self.ref_point).all(-1)]
+            front = approximate_pareto_Y(front, self.ref_point, alpha)
+            self.fronts.append(front)
+            lo, hi = nondominated_hypercell_bounds_np(front, self.ref_point)
+            self.cells.append((lo, hi))
+
+    def padded_cell_bounds(self, clip_max: float = 1e10):
+        """(lo, hi): `(batch, max_cells, m)` arrays; padding cells are
+        degenerate (lo == hi) and contribute zero volume."""
+        max_c = max(c[0].shape[0] for c in self.cells)
+        m = self.ref_point.shape[-1]
+        los, his = [], []
+        for lo, hi in self.cells:
+            pad = max_c - lo.shape[0]
+            lo = np.concatenate([lo, np.zeros((pad, m))], axis=0)
+            hi = np.concatenate([hi, np.zeros((pad, m))], axis=0)
+            los.append(lo)
+            his.append(hi)
+        lo = jnp.asarray(np.stack(los), jnp.float32)
+        hi = jnp.minimum(jnp.asarray(np.stack(his), jnp.float32), clip_max)
+        return lo, hi
+
+    def compute_hypervolume(self) -> Array:
+        return jnp.asarray(
+            [dominated_hypervolume_np(f, self.ref_point) for f in self.fronts]
+        )
