@@ -1,0 +1,87 @@
+"""Input-constructor registry tests (reference
+`acquisition/input_constructors.py`: registry, decorator, lookup, and
+derived standard inputs)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from botorch_tpu.acquisition.input_constructors import (
+    ACQF_INPUT_CONSTRUCTOR_REGISTRY,
+    acqf_input_constructor,
+    construct_acqf,
+    get_acqf_input_constructor,
+    get_best_f_analytic,
+    get_best_f_mc,
+)
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.models.gp import make_gp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (12, 2))
+    Y = -jnp.sum((X - 0.5) ** 2, -1)
+    gp = fit_gp(make_gp(X, Y[:, None]), num_restarts=2, maxiter=30)
+    ub = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    return gp, X, Y, ub
+
+
+def test_registry_covers_reference_names():
+    required = {
+        "EI", "LogEI", "PI", "UCB", "qEI", "qLogEI", "qNEI", "qLogNEI",
+        "qEHVI", "qNEHVI", "qKG", "qMES", "GIBBON", "qJES", "qPES",
+        "qNIPV", "qHVKG", "qLogNParEGO", "qMultiStepLookahead",
+        "qMultiFidelityMaxValueEntropy",
+    }
+    assert required <= set(ACQF_INPUT_CONSTRUCTOR_REGISTRY)
+    assert len(ACQF_INPUT_CONSTRUCTOR_REGISTRY) >= 25  # reference count
+
+
+def test_lookup_and_errors():
+    fn = get_acqf_input_constructor("qLogNEI")
+    assert callable(fn)
+    with pytest.raises(ValueError):
+        get_acqf_input_constructor("not-an-acqf")
+    with pytest.raises(ValueError):
+        # double registration is rejected
+        @acqf_input_constructor("qLogNEI")
+        def dup(model, **kw):  # pragma: no cover
+            return None
+
+
+def test_constructors_derive_standard_inputs(setup):
+    gp, X, Y, ub = setup
+    Xq = jnp.array([[0.4, 0.6]])
+    a = construct_acqf("LogEI", gp, train_Y=Y[:, None])
+    assert jnp.isfinite(a(Xq))
+    a = construct_acqf(
+        "qLogNEI", gp, train_X=X, train_Y=Y[:, None], num_samples=32
+    )
+    assert jnp.isfinite(a(Xq))
+    a = construct_acqf(
+        "qMES", gp, bounds=ub, grid_size=32, num_max_values=4
+    )
+    assert jnp.isfinite(a(Xq))
+    kg = construct_acqf("qKG", gp, train_Y=Y[:, None], num_fantasies=4)
+    Xf = jnp.tile(Xq, (kg.get_augmented_q_batch_size(), 1))
+    assert jnp.isfinite(kg(Xf))
+
+
+def test_mo_constructor_infers_ref_point(setup):
+    gp, X, Y, ub = setup
+    Y2 = jnp.stack([Y, -Y + 0.3], -1)
+    gp2 = fit_gp(make_gp(X, Y2), num_restarts=2, maxiter=20)
+    a = construct_acqf(
+        "qLogNEHVI", gp2, train_X=X, train_Y=Y2, num_samples=32
+    )
+    assert jnp.isfinite(a(jnp.array([[0.4, 0.6]])))
+
+
+def test_best_f_helpers():
+    Y = jnp.array([[1.0], [3.0], [2.0]])
+    assert float(get_best_f_analytic(Y)) == 3.0
+    assert float(get_best_f_analytic(Y, maximize=False)) == 1.0
+    obj = lambda s: -s[..., 0]
+    assert float(get_best_f_mc(Y, obj)) == -1.0
