@@ -320,10 +320,55 @@ def kernel_default_raw_weights(name: str, d: int):
     return jnp.asarray(_np.log(vals), jnp.float32)
 
 
+# Stationary kernels with a fused Pallas TPU path (`ops/pallas_kernels`).
+# Measured on v5e (4096x4096, d=8): matern52 1.02 ms Pallas vs 1.95 ms XLA
+# (the sqrt+exp epilogue fuses better in VMEM); rbf 0.95 vs 0.71 — XLA wins
+# because rbf's cheap epilogue doesn't amortize the d->128 lane padding,
+# so rbf stays on the XLA path.
+_PALLAS_ELIGIBLE = ("matern52", "matern32", "matern12")
+# Below this many output elements the 128x128 tile padding costs more than
+# the fused kernel saves; XLA's own fusion wins on small matrices.
+_PALLAS_MIN_ELEMENTS = 256 * 256
+
+
+def _pallas_dispatching(name: str):
+    raw = KERNELS[name]
+
+    def dispatch(x, z, lengthscale):
+        if (
+            x.ndim == 2
+            and z.ndim == 2
+            and lengthscale.ndim == 1
+            and x.dtype == jnp.float32
+            and x.shape[0] * z.shape[0] >= _PALLAS_MIN_ELEMENTS
+        ):
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                from botorch_tpu.ops import pallas_kernels
+
+                return pallas_kernels._PALLAS_OPS[name](x, z, lengthscale)
+        return raw(x, z, lengthscale)
+
+    return dispatch
+
+
+_DISPATCHING = None
+
+
 def kernel_fn(name: str):
     """Look up a kernel by name. Composite kernels are encoded as
     `"mixed:<i>,<j>"` (categorical dims) or `"fidelity:<i>"` (fidelity
-    dims) so they remain hashable static model fields."""
+    dims) so they remain hashable static model fields.
+
+    The stationary kernels route through the fused Pallas TPU op for
+    large unbatched matrices (`ops/pallas_kernels.kernel_matrix`
+    dispatch rule); everything else is the jnp/XLA implementation."""
+    global _DISPATCHING
+    if _DISPATCHING is None:
+        _DISPATCHING = {k: _pallas_dispatching(k) for k in _PALLAS_ELIGIBLE}
+    if name in _DISPATCHING:
+        return _DISPATCHING[name]
     if name in KERNELS:
         return KERNELS[name]
     if name.startswith("mixed:"):

@@ -106,7 +106,8 @@ def _pallas_kernel_matrix(x: Array, z: Array, lengthscale: Array, kind: str) -> 
 
 
 def _make_op(kind: str):
-    jnp_fn = jnp_kernels.kernel_fn(kind)
+    jnp_fn = jnp_kernels.KERNELS[kind]  # RAW impl (the dispatching
+    # kernel_fn would recurse back into the Pallas op inside this VJP)
 
     @jax.custom_vjp
     def op(x, z, lengthscale):
