@@ -229,3 +229,31 @@ def test_delaunay_polytope_sampler_uniformity():
                                              n=4000))
     assert s1.min() >= -1.0 and s1.max() <= 2.0
     assert abs(s1.mean() - 0.5) < 0.1
+
+
+def test_gen_candidates_adam_deterministic_and_stochastic():
+    """`gen_candidates_torch` counterpart (reference generation/gen.py:301):
+    projected Adam ascent, optional per-iteration resampling key."""
+    import jax
+    import jax.numpy as jnp
+
+    from botorch_tpu.generation.gen import gen_candidates_adam
+
+    acqf = lambda X: -jnp.sum((X - 0.7) ** 2)
+    ics = jax.random.uniform(jax.random.PRNGKey(0), (5, 2, 3))
+    ub = jnp.stack([jnp.zeros(3), jnp.ones(3)])
+    cands, vals = gen_candidates_adam(acqf, ics, ub, maxiter=300)
+    assert float(vals.max()) > -1e-3
+    assert bool((cands >= 0).all() and (cands <= 1).all())
+
+    def sacqf(X, key):
+        return -jnp.sum((X - 0.7) ** 2) + 0.01 * jax.random.normal(key, ())
+
+    c2, v2 = gen_candidates_adam(
+        sacqf, ics, ub, maxiter=300, key=jax.random.PRNGKey(1)
+    )
+    assert float(v2.max()) > -0.05
+    # bounds clamp is active: start at the boundary with optimum outside
+    acqf2 = lambda X: jnp.sum(X)
+    c3, _ = gen_candidates_adam(acqf2, ics, ub, maxiter=50)
+    assert float(c3.max()) <= 1.0 + 1e-6
