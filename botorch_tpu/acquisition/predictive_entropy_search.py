@@ -5,7 +5,9 @@ Counterpart of `botorch/acquisition/predictive_entropy_search.py:28`
 with the MO version, reference
 `multi_objective/predictive_entropy_search.py` — 1182 LoC of EP).
 
-Single-objective, q = 1 implementation:
+Single-objective, q >= 1 implementation (reference
+`qPredictiveEntropySearch.forward` handles q-batches the same way — joint
+entropy over the q candidate observations):
   1. sample optimizer locations `x*_k` by maximizing pathwise posterior
      draws (the native analogue of the reference's sampling);
   2. for each `x*`, approximate the conditioned process
@@ -13,9 +15,10 @@ Single-objective, q = 1 implementation:
      `f(x*) >= f(x_j)` at the training points: each factor is a 1-d
      truncated-Gaussian moment-matching site on the difference
      `d_j = f(x*) - f(x_j)` (fixed-iteration parallel EP, jit-safe);
-  3. `PES(x) = H[y | D] - mean_k H[y | D, EP_k]`, with the conditioned
-     variance at `x` obtained from the EP-updated joint over
-     `(f(x*), f(X_train), f(x))`.
+  3. `PES(X) = H[y_X | D] - mean_k H[y_X | D, EP_k]` with Gaussian
+     entropies `0.5 logdet(2 pi e (Sigma_q + sigma^2 I))`; the conditioned
+     q x q covariance at `X` is the trailing block of the EP-updated joint
+     over `(f(x*), f(X_train), f(X))`.
 
 The EP sites live on difference projections, so the updated covariance is
 a rank-limited correction shared across evaluation points — matching the
@@ -107,7 +110,7 @@ def _ep_condition_on_argmax(
 
 
 class qPredictiveEntropySearch(struct.PyTreeNode):
-    """PES for q = 1. Built by `make_pes`."""
+    """PES for a joint `(q, d)` candidate set. Built by `make_pes`."""
 
     model: SingleTaskGP
     cache: tuple
@@ -117,6 +120,8 @@ class qPredictiveEntropySearch(struct.PyTreeNode):
 
     def __call__(self, X: Array) -> Array:
         m = self.model
+        X = jnp.atleast_2d(X)  # (q, d)
+        q = X.shape[0]
         Kopt = self.X_opt.shape[0]
         p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
         p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
@@ -124,24 +129,27 @@ class qPredictiveEntropySearch(struct.PyTreeNode):
             jnp.mean(m.Yvar[:, 0]) if m.Yvar is not None else p.noise
         ) * jnp.square(m.Y_scale[0])
 
+        def gaussian_entropy(cov_q: Array) -> Array:
+            # joint observation entropy: 0.5 logdet(2 pi e (cov + s^2 I))
+            Lc = psd_safe_cholesky(cov_q + noise * jnp.eye(q))
+            return q * _half_log_2pi_e + jnp.sum(
+                jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1))
+            )
+
         post = m.posterior(X, cache=self.cache)
-        var0 = jnp.clip(post.variance[..., 0, 0], 1e-12)
-        h0 = _half_log_2pi_e + 0.5 * jnp.log(var0 + noise)
+        h0 = gaussian_entropy(post.cov[0])  # original units
 
         def per_optimum(k):
             x_star = self.X_opt[k]
-            # joint over (f(x*), f(X_train), f(x)) latent values
-            pts = jnp.concatenate(
-                [x_star[None, :], m.X, jnp.atleast_2d(X)], axis=0
-            )
+            # joint over (f(x*), f(X_train), f(X)) latent values
+            pts = jnp.concatenate([x_star[None, :], m.X, X], axis=0)
             joint = m.posterior(pts, cache=self.cache)
-            mu = joint.mean[:, 0]
-            K = joint.cov[0]
+            K = joint.cov[0]  # original units (posterior de-standardizes)
             n1 = m.num_train + 1
             tau = self.ep_tau[k][: n1 - 1]
             nu = self.ep_nu[k][: n1 - 1]
             # apply stored EP sites over the (x*, train) block, refreshed
-            # jointly with the evaluation point appended
+            # jointly with the evaluation points appended
             n_sites = n1 - 1
             A = jnp.zeros((n_sites, pts.shape[0]))
             A = A.at[:, 0].set(1.0)
@@ -150,12 +158,10 @@ class qPredictiveEntropySearch(struct.PyTreeNode):
             M = jnp.eye(n_sites) + jnp.diag(tau) @ (AK @ A.T)
             Xs = jnp.linalg.solve(M, jnp.diag(tau) @ AK)
             K_new = K - AK.T @ Xs
-            v_cond = jnp.clip(K_new[-1, -1], 1e-12) * jnp.square(m.Y_scale[0])
-            return _half_log_2pi_e + 0.5 * jnp.log(v_cond + noise)
+            return gaussian_entropy(K_new[-q:, -q:])
 
         hks = jax.vmap(per_optimum)(jnp.arange(Kopt))
-        val = h0 - jnp.mean(hks)
-        return jnp.mean(val)
+        return h0 - jnp.mean(hks)
 
 
 def make_pes(

@@ -197,6 +197,27 @@ def test_pes_prefers_sampled_optimum_region():
     assert vals[0] >= vals[1] - 0.05
 
 
+def test_pes_qbatch_joint_entropy():
+    """q > 1 PES: joint information gain is finite, non-negative, and
+    dominates the best single point of the batch (submodularity-style
+    sanity: adding a candidate cannot lose information)."""
+    from botorch_tpu.acquisition.predictive_entropy_search import make_pes
+
+    model, X, Y = _model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    pes = make_pes(model, bounds, jax.random.PRNGKey(2), num_optima=4,
+                   num_features=256, raw_samples=128, maxiter=10)
+    Xq = jnp.asarray([[0.2, 0.8], [0.9, 0.1]], jnp.float32)
+    v_joint = float(pes(Xq))
+    v_singles = [float(pes(Xq[i:i + 1])) for i in range(2)]
+    assert np.isfinite(v_joint)
+    assert v_joint > -1e-3
+    assert v_joint >= max(v_singles) - 0.05
+    # distinct points add information over a duplicated point
+    v_dup = float(pes(jnp.repeat(Xq[:1], 2, axis=0)))
+    assert v_joint >= v_dup - 0.05
+
+
 def test_turbo_compiled_loop_matches_host_loop():
     """`run_turbo_compiled`: one-jit TuRBO run reaches host-loop quality
     (single device dispatch; in-graph trust-region restarts)."""
