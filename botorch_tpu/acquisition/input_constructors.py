@@ -238,6 +238,10 @@ def _construct_multistep(model, train_Y=None, **options):
     best_f = options.pop("best_f", None)
     if best_f is None:
         best_f = float(jnp.max(train_Y)) if train_Y is not None else 0.0
+    if "batch_sizes" in options:  # arbitrary-depth tree
+        from botorch_tpu.acquisition.multi_step_lookahead import make_k_step
+
+        return make_k_step(model, best_f=best_f, **options)
     return make_multistep(model, best_f=best_f, **options)
 
 

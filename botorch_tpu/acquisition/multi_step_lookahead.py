@@ -43,6 +43,12 @@ class qMultiStepLookahead(struct.PyTreeNode):
     num_fantasies: int = struct.field(pytree_node=False, default=16)
     terminal: str = struct.field(pytree_node=False, default="PosteriorMean")
 
+    @property
+    def q(self) -> int:
+        """One-shot contract: the actual candidate count (for the KG-style
+        IC generator `gen_one_shot_kg_initial_conditions`)."""
+        return self.q0
+
     def get_augmented_q_batch_size(self) -> int:
         return self.q0 + self.num_fantasies * self.q1
 
@@ -152,6 +158,10 @@ class qThreeStepLookahead(struct.PyTreeNode):
     nf2: int = struct.field(pytree_node=False, default=4)
     terminal: str = struct.field(pytree_node=False, default="PosteriorMean")
 
+    @property
+    def q(self) -> int:
+        return self.q0
+
     def get_augmented_q_batch_size(self) -> int:
         return self.q0 + self.nf1 * self.q1 + self.nf1 * self.nf2 * self.q2
 
@@ -238,6 +248,149 @@ class qThreeStepLookahead(struct.PyTreeNode):
         best1 = jnp.maximum(jnp.max(Yf1, axis=-1), jnp.asarray(self.best_f))
         vals = jax.vmap(branch)(alpha1, resid1, X1, X2, self.base2, best1)
         return jnp.mean(vals)
+
+
+class qKStepLookahead(struct.PyTreeNode):
+    r"""Arbitrary-depth one-shot scenario tree (reference
+    `multi_step_lookahead.py:49` with general `batch_sizes=[q0..qK]`,
+    `num_fantasies=[nf1..nfK]`).
+
+    Variables are the flattened tree
+    `X_full = [X0 (q0) | X1 (nf1, q1) | X2 (nf1, nf2, q2) | ...]`; the
+    forward pass recurses through the stages (Python recursion at trace
+    time — the tree is static), fantasizing each node's candidate block
+    with fixed qMC base draws and `vmap`-ing over its branches, and scores
+    every leaf with the terminal value (posterior mean or LogEI). All
+    branch posteriors come from per-node augmented Choleskys, so the whole
+    tree is one differentiable XLA program for the one-shot L-BFGS ascent.
+
+    `qMultiStepLookahead`/`qThreeStepLookahead` are the hand-unrolled
+    K=2/K=3 specializations (kept: they share stage-1 work explicitly).
+    """
+
+    model: SingleTaskGP
+    cache: tuple
+    bases: tuple  # bases[j]: (nf1, .., nf_{j+1}, q_j) stage-(j+1) draws
+    best_f: Array = 0.0
+    batch_sizes: tuple = struct.field(pytree_node=False, default=(1, 1))
+    num_fantasies: tuple = struct.field(pytree_node=False, default=(8,))
+    terminal: str = struct.field(pytree_node=False, default="PosteriorMean")
+
+    @property
+    def q(self) -> int:
+        return self.batch_sizes[0]
+
+    def get_augmented_q_batch_size(self) -> int:
+        total, branches = 0, 1
+        for k, q in enumerate(self.batch_sizes):
+            total += branches * q
+            if k < len(self.num_fantasies):
+                branches *= self.num_fantasies[k]
+        return total
+
+    def extract_candidates(self, X_full: Array) -> Array:
+        return X_full[..., : self.batch_sizes[0], :]
+
+    def _split_stages(self, X_full: Array) -> list:
+        d = X_full.shape[-1]
+        stages, offset, branches = [], 0, ()
+        for k, q in enumerate(self.batch_sizes):
+            nb = math.prod(branches) if branches else 1
+            block = X_full[offset : offset + nb * q]
+            stages.append(block.reshape(*branches, q, d))
+            offset += nb * q
+            if k < len(self.num_fantasies):
+                branches = branches + (self.num_fantasies[k],)
+        return stages
+
+    def __call__(self, X_full: Array) -> Array:
+        m = self.model
+        p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
+        p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
+        noise0 = p.noise if m.Yvar is None else jnp.mean(m.Yvar[:, 0])
+        nv0 = m.Yvar[:, 0] if m.Yvar is not None else jnp.full(
+            (m.num_train,), p.noise
+        )
+        stages = self._split_stages(X_full)
+        resid0 = m.Y[:, 0] - p.mean
+
+        def recurse(j, X_aug, nv, resid, best, node_stages, node_bases):
+            Xj = node_stages[0]  # (q_j, d)
+            qj = Xj.shape[0]
+            n_aug = X_aug.shape[0]
+            K = m._kernel(p, X_aug, X_aug) + nv[:, None] * jnp.eye(n_aug)
+            L = psd_safe_cholesky(K)
+            alpha = cholesky_solve(L, resid[:, None])[:, 0]
+            Ks = m._kernel(p, X_aug, Xj)  # (n_aug, q_j)
+            mean_j = p.mean + Ks.T @ alpha  # std units
+            if len(node_stages) == 1:  # leaf: terminal value
+                mean_orig = m.Y_loc[0] + m.Y_scale[0] * mean_j
+                if self.terminal == "PosteriorMean":
+                    return jnp.max(mean_orig)
+                v = jax.scipy.linalg.solve_triangular(L, Ks, lower=True)
+                var = jnp.clip(
+                    jnp.diagonal(m._kernel(p, Xj, Xj)) - jnp.sum(v * v, 0),
+                    1e-12,
+                ) * jnp.square(m.Y_scale[0])
+                sigma = jnp.sqrt(var)
+                u = (mean_orig - best) / sigma
+                return jnp.max(log_ei_helper(u) + jnp.log(sigma))
+
+            # fantasize observations at Xj
+            V = jax.scipy.linalg.solve_triangular(L, Ks, lower=True)
+            cov = m._kernel(p, Xj, Xj) - V.T @ V + noise0 * jnp.eye(qj)
+            Lf = psd_safe_cholesky(cov)
+            base = node_bases[0]  # (nf, q_j)
+            Yf_std = mean_j + base @ Lf.T  # (nf, q_j)
+            Yf = m.Y_loc[0] + m.Y_scale[0] * Yf_std
+
+            X_aug2 = jnp.concatenate([X_aug, Xj], axis=0)
+            nv2 = jnp.concatenate([nv, jnp.full((qj,), noise0)])
+
+            def branch(Yf_std_i, Yf_i, sub_stages, sub_bases):
+                resid2 = jnp.concatenate([resid, Yf_std_i - p.mean])
+                best2 = jnp.maximum(jnp.max(Yf_i), best)
+                return recurse(
+                    j + 1, X_aug2, nv2, resid2, best2, sub_stages, sub_bases
+                )
+
+            vals = jax.vmap(branch)(
+                Yf_std, Yf, list(node_stages[1:]), list(node_bases[1:])
+            )
+            return jnp.mean(vals)
+
+        return recurse(
+            0, m.X, nv0, resid0, jnp.asarray(self.best_f),
+            stages, list(self.bases),
+        )
+
+
+def make_k_step(
+    model: SingleTaskGP,
+    batch_sizes: tuple = (1, 1, 1),
+    num_fantasies: tuple = (8, 4),
+    best_f: float | Array = 0.0,
+    terminal: str = "PosteriorMean",
+    seed: int = 0,
+) -> qKStepLookahead:
+    """General K-stage one-shot lookahead (K = len(batch_sizes) stages,
+    len(num_fantasies) = K - 1 branching factors)."""
+    assert len(num_fantasies) == len(batch_sizes) - 1
+    bases, branches = [], ()
+    for k, nf in enumerate(num_fantasies):
+        branches = branches + (nf,)
+        nb = math.prod(branches)
+        z = draw_sobol_normal_samples(batch_sizes[k], nb, seed=seed + k)
+        bases.append(z.reshape(*branches, batch_sizes[k]))
+    return qKStepLookahead(
+        model=model,
+        cache=model.train_chol(),
+        bases=tuple(bases),
+        best_f=jnp.asarray(best_f, jnp.float32),
+        batch_sizes=tuple(batch_sizes),
+        num_fantasies=tuple(num_fantasies),
+        terminal=terminal,
+    )
 
 
 def make_three_step(

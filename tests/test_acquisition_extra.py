@@ -276,3 +276,53 @@ def test_three_step_lookahead():
                           key=jax.random.PRNGKey(1), maxiter=40)
     assert float(v3) >= float(v2) - 0.05
     assert acqf.extract_candidates(Xf).shape == (1, 2)
+
+
+def test_k_step_lookahead_matches_unrolled():
+    """`qKStepLookahead` (arbitrary-depth tree): K=2 equals the
+    hand-unrolled 2-step exactly (same qMC bases), K=3 equals the
+    3-step when handed its base draws, and K=4 runs with finite grads."""
+    from botorch_tpu.acquisition.multi_step_lookahead import (
+        make_k_step,
+        make_multistep,
+        make_three_step,
+        qKStepLookahead,
+    )
+
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.uniform(size=(10, 2)), jnp.float32)
+    Y = jnp.cos(4 * X[:, :1]) + 0.1 * jnp.asarray(
+        rng.normal(size=(10, 1)), jnp.float32
+    )
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    best = float(Y.max())
+
+    for terminal in ("PosteriorMean", "LogEI"):
+        two = make_multistep(model, num_fantasies=5, best_f=best,
+                             terminal=terminal, seed=3)
+        gen2 = make_k_step(model, batch_sizes=(1, 1), num_fantasies=(5,),
+                           best_f=best, terminal=terminal, seed=3)
+        Xf = jnp.asarray(rng.uniform(size=(6, 2)), jnp.float32)
+        np.testing.assert_allclose(
+            float(two(Xf)), float(gen2(Xf)), rtol=2e-4, atol=2e-5
+        )
+
+    three = make_three_step(model, num_fantasies=(3, 2), best_f=best, seed=7)
+    gen3 = qKStepLookahead(
+        model=model, cache=model.train_chol(),
+        bases=(three.base1, three.base2), best_f=three.best_f,
+        batch_sizes=(1, 1, 1), num_fantasies=(3, 2),
+    )
+    Xf3 = jnp.asarray(rng.uniform(size=(10, 2)), jnp.float32)
+    np.testing.assert_allclose(
+        float(three(Xf3)), float(gen3(Xf3)), rtol=2e-4, atol=2e-5
+    )
+
+    k4 = make_k_step(model, batch_sizes=(1, 1, 1, 1),
+                     num_fantasies=(3, 2, 2), best_f=best, terminal="LogEI")
+    n4 = k4.get_augmented_q_batch_size()
+    assert n4 == 1 + 3 + 6 + 12
+    Xf4 = jnp.asarray(rng.uniform(size=(n4, 2)), jnp.float32)
+    v, g = jax.value_and_grad(lambda x: k4(x))(Xf4)
+    assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
