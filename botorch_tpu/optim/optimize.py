@@ -175,6 +175,31 @@ def optimize_acqf(
         key = jax.random.PRNGKey(seed)
     d = bounds.shape[-1]
 
+    # One-shot handling (reference `optim/optimize.py:88-93,389-392`):
+    # when a one-shot acqf (KG/HVKG/lookahead) is passed with its ACTUAL
+    # candidate count, optimize the augmented problem with KG-style ICs
+    # and extract the actual candidates from the winning tree.
+    one_shot = (
+        hasattr(acqf, "get_augmented_q_batch_size")
+        and hasattr(acqf, "extract_candidates")
+        and q != acqf.get_augmented_q_batch_size()
+    )
+    if one_shot:
+        if q != getattr(acqf, "q", q):
+            raise ValueError(
+                "one-shot acquisition: pass q equal to the actual candidate "
+                f"count ({acqf.q}) or the augmented size "
+                f"({acqf.get_augmented_q_batch_size()})"
+            )
+        q = acqf.get_augmented_q_batch_size()
+        if initial_conditions is None and not (
+            inequality_constraints or nonlinear_inequality_constraints
+        ):
+            key, k_os = jax.random.split(key)
+            initial_conditions = gen_one_shot_kg_initial_conditions(
+                acqf, bounds, num_restarts, raw_samples, key=k_os, seed=seed
+            )
+
     if initial_conditions is None:
         if inequality_constraints:
             from botorch_tpu.utils.sampling import get_polytope_samples
@@ -247,6 +272,8 @@ def optimize_acqf(
     if return_full:
         return cands, vals
     best = jnp.argmax(vals)
+    if one_shot:
+        return acqf.extract_candidates(cands[best]), vals[best]
     return cands[best], vals[best]
 
 

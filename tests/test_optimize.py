@@ -97,3 +97,34 @@ def test_nonlinear_inequality_constraints():
         maxiter=60, nonlinear_inequality_constraints=[(g2, False)],
     )
     assert float(jnp.sum(cand2)) <= 1.2 + 5e-3
+
+
+def test_one_shot_auto_handling():
+    """Passing the ACTUAL q for a one-shot acqf (reference
+    `optim/optimize.py:88-93,389-392`): optimize_acqf augments the
+    problem, seeds fantasy coordinates with posterior-mean maximizers,
+    and returns the extracted actual candidates."""
+    from botorch_tpu.acquisition.knowledge_gradient import make_qkg
+    from botorch_tpu.fit import fit_gp
+    from botorch_tpu.models.gp import make_gp
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(10, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    kg = make_qkg(model, q=1, num_fantasies=6, seed=1)
+    cand, v = optimize_acqf(kg, bounds, q=1, num_restarts=3, raw_samples=16,
+                            key=jax.random.PRNGKey(1), maxiter=20)
+    assert cand.shape == (1, 2)
+    assert np.isfinite(float(v))
+    # augmented convention still accepted
+    cand2, _ = optimize_acqf(kg, bounds, q=7, num_restarts=3, raw_samples=16,
+                             key=jax.random.PRNGKey(1), maxiter=20)
+    assert cand2.shape == (7, 2)
+    # wrong q raises
+    import pytest
+    with pytest.raises(ValueError):
+        optimize_acqf(kg, bounds, q=3, num_restarts=2, raw_samples=8,
+                      key=jax.random.PRNGKey(2), maxiter=5)
