@@ -5,11 +5,15 @@ Runs the fully-compiled BO loop (fit -> acquire -> optimize, one XLA
 program; see `botorch_tpu/loop.py`) on the default JAX device and prints
 ONE JSON line with the headline metric.
 
-Baseline: the reference (BoTorch 0.11.3 on CPU, MMMA config: scipy
-L-BFGS-B fitting + optimization per iteration) measures ~0.3-0.5 BO
-iters/s at comparable budgets (10 init points, 2 fit attempts, restarts 2,
-raw 20; measured on this container class — see BASELINE.md; the reference
-publishes no numbers of its own). `vs_baseline` is iters/s divided by 0.4.
+Baseline: MEASURED on this container by
+`benchmarks/reference_cpu_baseline.py` — a torch+scipy replica of the
+reference's exact CPU compute path (flattened-ndarray scipy L-BFGS-B MLL
+fit + multi-start scipy LogEI optimization, BoTorch 0.11.3 semantics) at
+the SAME budgets as this bench: 1.97 iters/s, final regret 0.067.
+That replica is a fast upper bound of real BoTorch (no gpytorch Python
+overhead, maxiter 35 vs the reference's default 2000), so `vs_baseline`
+= iters/s / 1.97 is conservative. The reference publishes no numbers of
+its own (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ def main():
 
     best_time = min(times)
     iters_per_s = iters / best_time
-    baseline_iters_per_s = 0.4  # reference CPU loop, comparable budget
+    baseline_iters_per_s = 1.97  # measured: benchmarks/reference_cpu_baseline.py
 
     # NUTS throughput (SAASBO config 3): transitions/second across chains.
     # Reference anchor: pyro runs ONE sequential chain; a SAASBO fit at
