@@ -76,6 +76,22 @@ def _default_key(key, seed):
     return jax.random.PRNGKey(seed) if key is None else key
 
 
+def _call_filtered(fn, *args, **options):
+    """Call a `make_*` assembler with only the kwargs it declares.
+
+    Reference semantics (`input_constructors.py:106-130`): constructors
+    receive a SUPERSET of standard derived inputs (train data, bounds,
+    sampler budgets, ...) and use what the acqf needs, ignoring the rest.
+    """
+    import inspect
+
+    sig = inspect.signature(fn)
+    if any(p.kind == p.VAR_KEYWORD for p in sig.parameters.values()):
+        return fn(*args, **options)
+    ok = {k: v for k, v in options.items() if k in sig.parameters}
+    return fn(*args, **ok)
+
+
 # ------------------------------------------------------------------------- #
 # Registered constructors (delegating to the factory / make_* assemblers)
 # ------------------------------------------------------------------------- #
@@ -107,7 +123,7 @@ def _construct_mes(model, bounds=None, key=None, seed=0, **options):
     cls = qMaxValueEntropy if name == "qMES" else qLowerBoundMaxValueEntropy
     options.pop("train_X", None), options.pop("train_Y", None)
     options.pop("q", None)
-    return make_mes(cls, model, bounds, _default_key(key, seed), **options)
+    return _call_filtered(make_mes, cls, model, bounds, _default_key(key, seed), **options)
 
 
 @acqf_input_constructor("qMultiFidelityMaxValueEntropy",
@@ -128,9 +144,9 @@ def _construct_mf_mes(model, bounds=None, key=None, seed=0, project=None,
     )
     options.pop("train_X", None), options.pop("train_Y", None)
     options.pop("q", None)
-    return make_mf_mes(
-        cls, model, bounds, _default_key(key, seed), project=project,
-        cost_fn=cost_fn, **options,
+    return _call_filtered(
+        make_mf_mes, cls, model, bounds, _default_key(key, seed),
+        project=project, cost_fn=cost_fn, **options,
     )
 
 
@@ -141,7 +157,7 @@ def _construct_jes(model, bounds=None, key=None, seed=0, **options):
     options.pop("_name")
     options.pop("train_X", None), options.pop("train_Y", None)
     options.pop("q", None)
-    return make_jes(model, bounds, _default_key(key, seed), **options)
+    return _call_filtered(make_jes, model, bounds, _default_key(key, seed), **options)
 
 
 @acqf_input_constructor("qPES", "qPredictiveEntropySearch")
@@ -151,7 +167,7 @@ def _construct_pes(model, bounds=None, key=None, seed=0, **options):
     options.pop("_name")
     options.pop("train_X", None), options.pop("train_Y", None)
     options.pop("q", None)
-    return make_pes(model, bounds, _default_key(key, seed), **options)
+    return _call_filtered(make_pes, model, bounds, _default_key(key, seed), **options)
 
 
 @acqf_input_constructor("qMESMO")
@@ -161,8 +177,8 @@ def _construct_mesmo(model, bounds=None, key=None, seed=0, **options):
     options.pop("_name")
     options.pop("train_X", None), options.pop("train_Y", None)
     options.pop("q", None)
-    return make_mesmo(model, bounds, _default_key(key, seed), seed=seed,
-                      **options)
+    return _call_filtered(make_mesmo, model, bounds, _default_key(key, seed),
+                          seed=seed, **options)
 
 
 @acqf_input_constructor("qPFES")
@@ -174,7 +190,7 @@ def _construct_pfes(model, bounds=None, key=None, seed=0, **options):
     options.pop("_name")
     options.pop("train_X", None), options.pop("train_Y", None)
     options.pop("q", None)
-    return make_pfes(model, bounds, _default_key(key, seed), **options)
+    return _call_filtered(make_pfes, model, bounds, _default_key(key, seed), **options)
 
 
 @acqf_input_constructor("qLogNParEGO")
@@ -184,9 +200,9 @@ def _construct_parego(model, train_X=None, train_Y=None, key=None, seed=0,
 
     options.pop("_name")
     options.pop("bounds", None)
-    return make_qlognparego(
-        model, train_X, train_Y, _default_key(key, seed), q=q, seed=seed,
-        **options,
+    return _call_filtered(
+        make_qlognparego, model, train_X, train_Y, _default_key(key, seed),
+        q=q, seed=seed, **options,
     )
 
 
@@ -225,7 +241,7 @@ def _construct_qhvkg(model, train_Y=None, ref_point=None, **options):
     if ref_point is None:
         front = train_Y[is_non_dominated(train_Y)]
         ref_point = infer_reference_point(front)
-    return make_qhvkg(model, ref_point, Y_baseline=train_Y, **options)
+    return _call_filtered(make_qhvkg, model, ref_point, Y_baseline=train_Y, **options)
 
 
 @acqf_input_constructor("qMultiStepLookahead")
@@ -241,8 +257,8 @@ def _construct_multistep(model, train_Y=None, **options):
     if "batch_sizes" in options:  # arbitrary-depth tree
         from botorch_tpu.acquisition.multi_step_lookahead import make_k_step
 
-        return make_k_step(model, best_f=best_f, **options)
-    return make_multistep(model, best_f=best_f, **options)
+        return _call_filtered(make_k_step, model, best_f=best_f, **options)
+    return _call_filtered(make_multistep, model, best_f=best_f, **options)
 
 
 @acqf_input_constructor("MOMF")
@@ -259,7 +275,7 @@ def _construct_momf(model, train_Y=None, ref_point=None, q=1, **options):
     if ref_point is None:
         front = train_Y[is_non_dominated(train_Y)]
         ref_point = infer_reference_point(front)
-    return make_momf(model, ref_point, q=q, Y_baseline=train_Y, **options)
+    return _call_filtered(make_momf, model, ref_point, q=q, Y_baseline=train_Y, **options)
 
 
 # make `_name` visible to delegating constructors

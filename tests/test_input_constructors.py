@@ -85,3 +85,60 @@ def test_best_f_helpers():
     assert float(get_best_f_analytic(Y, maximize=False)) == 1.0
     obj = lambda s: -s[..., 0]
     assert float(get_best_f_mc(Y, obj)) == -1.0
+
+
+# every registered name, with the minimal standard inputs it derives from
+_SO_NAMES = [
+    "EI", "LogEI", "PI", "LogPI", "UCB", "PosteriorMean",
+    "PosteriorStandardDeviation", "qEI", "qLogEI", "qNEI", "qLogNEI",
+    "qPI", "qSR", "qUCB", "qKG", "qMES", "GIBBON",
+    "qLowerBoundMaxValueEntropy", "qJES", "qNIPV", "qMultiStepLookahead",
+]
+_MO_NAMES = ["qEHVI", "qLogEHVI", "qNEHVI", "qLogNEHVI", "qLogNParEGO",
+             "qMESMO", "qPFES", "qHVKG"]
+
+
+@pytest.mark.parametrize("name", _SO_NAMES)
+def test_every_single_objective_constructor_builds_and_evaluates(name, setup):
+    """Registry-wide smoke (reference has 25+ registered constructors):
+    each name builds from standard derived inputs and returns a finite
+    value on a q-batch."""
+    gp, X, Y, ub = setup
+    kwargs = dict(train_X=X, train_Y=Y[:, None], bounds=ub,
+                  num_samples=16, seed=0)
+    if name in ("qMES", "GIBBON", "qLowerBoundMaxValueEntropy"):
+        kwargs.update(grid_size=24, num_max_values=3)
+    if name == "qJES":
+        kwargs.update(num_optima=3, num_features=64, raw_samples=32,
+                      maxiter=8)
+    if name == "qKG":
+        kwargs.update(num_fantasies=3)
+    if name == "qMultiStepLookahead":
+        kwargs.update(num_fantasies=3)
+    if name == "qNIPV":
+        kwargs.update(mc_points=jax.random.uniform(jax.random.PRNGKey(3),
+                                                   (16, 2)))
+    a = construct_acqf(name, gp, **kwargs)
+    q = getattr(a, "get_augmented_q_batch_size", lambda: 1)()
+    Xq = jnp.broadcast_to(jnp.array([[0.4, 0.6]]), (q, 2))
+    v = a(Xq)
+    assert jnp.isfinite(v), name
+
+
+@pytest.mark.parametrize("name", _MO_NAMES)
+def test_every_multi_objective_constructor_builds_and_evaluates(name, setup):
+    gp, X, Y, ub = setup
+    Y2 = jnp.stack([Y, -Y + 0.3], -1)
+    gp2 = fit_gp(make_gp(X, Y2), num_restarts=2, maxiter=20)
+    kwargs = dict(train_X=X, train_Y=Y2, bounds=ub, num_samples=16, seed=0)
+    if name == "qMESMO":
+        kwargs.update(num_fronts=3, grid_size=24)
+    if name == "qPFES":
+        kwargs.update(num_fronts=3)
+    if name == "qHVKG":
+        kwargs.update(num_fantasies=2)
+    a = construct_acqf(name, gp2, **kwargs)
+    q = getattr(a, "get_augmented_q_batch_size", lambda: 1)()
+    Xq = jnp.broadcast_to(jnp.array([[0.4, 0.6]]), (q, 2))
+    v = a(Xq)
+    assert jnp.isfinite(v), name
