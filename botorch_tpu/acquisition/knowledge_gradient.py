@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
-from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky, solve_triangular
+from botorch_tpu.ops.chol import (
+    cholesky_solve,
+    psd_safe_cholesky,
+    solve_triangular,
+    update_chol,
+)
 from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
 
 Array = jax.Array
@@ -73,32 +78,30 @@ class qKnowledgeGradient(struct.PyTreeNode):
         mean_q = post.mean[:, 0]
         Yf = mean_q + (self.base_samples @ Lq.T)  # (nf, q) original units
 
-        # 2) condition on fantasies: augmented design shared across nf
+        # 2) condition on fantasies: augmented design shared across nf.
+        # The augmented factor is an O(n^2 q) BORDER UPDATE of the cached
+        # train Cholesky (the reference's `get_fantasy_model` low-rank
+        # update economics, `cached_cholesky.py:94-130`), not an
+        # O((n+q)^3) refactorization.
         X_aug = jnp.concatenate([m.X, X_actual], axis=0)
+        n_aug = X_aug.shape[0]
         Yf_std = (Yf - m.Y_loc[0]) / m.Y_scale[0]
         p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
         p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
-        K = m._kernel(p, X_aug, X_aug)
-        n_aug = X_aug.shape[0]
-        if m.Yvar is not None:
-            noise_tr = m.Yvar[:, 0]
-            noise_new = jnp.full((q,), jnp.mean(m.Yvar[:, 0]))
-        else:
-            noise_tr = jnp.full((m.num_train,), p.noise)
-            noise_new = jnp.full((q,), p.noise)
-        noise_diag = jnp.concatenate([noise_tr, noise_new])
+        noise_new = jnp.full(
+            (q,), p.noise if m.Yvar is None else jnp.mean(m.Yvar[:, 0])
+        )
+        B = m._kernel(p, m.X, X_actual)  # (n, q)
         if m.mask is not None:
-            mask_aug = jnp.concatenate(
-                [m.mask, jnp.ones((q,), m.mask.dtype)]
+            mm_tr = m.mask.astype(B.dtype)
+            B = B * mm_tr[:, None]
+            resid_mask = jnp.concatenate(
+                [mm_tr, jnp.ones((q,), B.dtype)]
             )
-            mm = mask_aug.astype(K.dtype)
-            pair = mm[:, None] * mm[None, :]
-            K = K * pair + (1.0 - pair) * jnp.eye(n_aug, dtype=K.dtype)
-            resid_mask = mm
         else:
-            resid_mask = jnp.ones((n_aug,), K.dtype)
-        K = K + noise_diag[:, None] * jnp.eye(n_aug, dtype=K.dtype)
-        L_aug = psd_safe_cholesky(K)
+            resid_mask = jnp.ones((n_aug,), B.dtype)
+        C = m._kernel(p, X_actual, X_actual) + jnp.diag(noise_new)
+        L_aug = update_chol(self.cache[0][0], B, C)
 
         Y_std_tr = m.Y[:, 0] - p.mean
         resid = jnp.concatenate(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
-from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky
+from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky, update_chol
 from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
 from botorch_tpu.utils.probability import log_ei_helper
 
@@ -67,20 +67,15 @@ class qMultiStepLookahead(struct.PyTreeNode):
         Yf = post.mean[:, 0] + self.base_samples @ Lq.T  # (nf, q0)
         Yf_std = (Yf - m.Y_loc[0]) / m.Y_scale[0]
 
-        # shared augmented Cholesky (fantasies share the design)
+        # shared augmented Cholesky (fantasies share the design):
+        # O(n^2 q0) border update of the cached train factor
         X_aug = jnp.concatenate([m.X, X0], axis=0)
         p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
         p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
-        K = m._kernel(p, X_aug, X_aug)
-        n_aug = X_aug.shape[0]
-        if m.Yvar is not None:
-            noise = jnp.concatenate(
-                [m.Yvar[:, 0], jnp.full((q0,), jnp.mean(m.Yvar[:, 0]))]
-            )
-        else:
-            noise = jnp.full((n_aug,), p.noise)
-        K = K + noise[:, None] * jnp.eye(n_aug)
-        L_aug = psd_safe_cholesky(K)
+        noise0 = p.noise if m.Yvar is None else jnp.mean(m.Yvar[:, 0])
+        B = m._kernel(p, m.X, X0)
+        C = m._kernel(p, X0, X0) + noise0 * jnp.eye(q0)
+        L_aug = update_chol(self.cache[0][0], B, C)
         resid = jnp.concatenate(
             [jnp.broadcast_to(m.Y[:, 0] - p.mean, (nf, m.num_train)),
              Yf_std - p.mean],
@@ -190,12 +185,9 @@ class qThreeStepLookahead(struct.PyTreeNode):
 
         X_aug1 = jnp.concatenate([m.X, X0], axis=0)
         n1 = X_aug1.shape[0]
-        if m.Yvar is not None:
-            nv1 = jnp.concatenate([m.Yvar[:, 0], jnp.full((q0,), noise0)])
-        else:
-            nv1 = jnp.full((n1,), p.noise)
-        K1 = m._kernel(p, X_aug1, X_aug1) + nv1[:, None] * jnp.eye(n1)
-        L1 = psd_safe_cholesky(K1)
+        B1 = m._kernel(p, m.X, X0)
+        C1 = m._kernel(p, X0, X0) + noise0 * jnp.eye(q0)
+        L1 = update_chol(self.cache[0][0], B1, C1)  # O(n^2 q0) border update
         resid1 = jnp.concatenate(
             [jnp.broadcast_to(m.Y[:, 0] - p.mean, (nf1, m.num_train)),
              Yf1_std - p.mean],
@@ -214,12 +206,11 @@ class qThreeStepLookahead(struct.PyTreeNode):
             Yf2_std = mean1 + base2_i @ Lf.T  # (nf2, q1)
             Yf2 = m.Y_loc[0] + m.Y_scale[0] * Yf2_std
 
-            # per-branch second augmentation
+            # per-branch second augmentation: border update of L1
             X_aug2 = jnp.concatenate([X_aug1, X1_i], axis=0)
-            n2 = n1 + q1
-            nv2 = jnp.concatenate([nv1, jnp.full((q1,), noise0)])
-            K2 = m._kernel(p, X_aug2, X_aug2) + nv2[:, None] * jnp.eye(n2)
-            L2 = psd_safe_cholesky(K2)
+            B2 = m._kernel(p, X_aug1, X1_i)
+            C2 = m._kernel(p, X1_i, X1_i) + noise0 * jnp.eye(q1)
+            L2 = update_chol(L1, B2, C2)
             resid2 = jnp.concatenate(
                 [jnp.broadcast_to(resid1_i, (nf2, n1)), Yf2_std - p.mean],
                 axis=-1,
@@ -308,20 +299,25 @@ class qKStepLookahead(struct.PyTreeNode):
         p = jax.tree_util.tree_map(lambda a: a[..., 0], m.params)
         p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., 0, :])
         noise0 = p.noise if m.Yvar is None else jnp.mean(m.Yvar[:, 0])
-        nv0 = m.Yvar[:, 0] if m.Yvar is not None else jnp.full(
-            (m.num_train,), p.noise
-        )
         stages = self._split_stages(X_full)
         resid0 = m.Y[:, 0] - p.mean
+        # masked (padded) train rows: the cached factor has identity rows
+        # there, so zero their residuals and cross-covariances
+        mm0 = (
+            m.mask.astype(X_full.dtype)
+            if m.mask is not None
+            else jnp.ones((m.num_train,), X_full.dtype)
+        )
+        resid0 = resid0 * mm0
 
-        def recurse(j, X_aug, nv, resid, best, node_stages, node_bases):
+        def recurse(j, X_aug, L, mm, resid, best, node_stages, node_bases):
+            # `L` is the Cholesky of the observation covariance over
+            # `X_aug`, grown per stage by O(|X_aug|^2 q) border updates of
+            # the cached train factor — never refactorized.
             Xj = node_stages[0]  # (q_j, d)
             qj = Xj.shape[0]
-            n_aug = X_aug.shape[0]
-            K = m._kernel(p, X_aug, X_aug) + nv[:, None] * jnp.eye(n_aug)
-            L = psd_safe_cholesky(K)
             alpha = cholesky_solve(L, resid[:, None])[:, 0]
-            Ks = m._kernel(p, X_aug, Xj)  # (n_aug, q_j)
+            Ks = m._kernel(p, X_aug, Xj) * mm[:, None]  # (n_aug, q_j)
             mean_j = p.mean + Ks.T @ alpha  # std units
             if len(node_stages) == 1:  # leaf: terminal value
                 mean_orig = m.Y_loc[0] + m.Y_scale[0] * mean_j
@@ -345,13 +341,14 @@ class qKStepLookahead(struct.PyTreeNode):
             Yf = m.Y_loc[0] + m.Y_scale[0] * Yf_std
 
             X_aug2 = jnp.concatenate([X_aug, Xj], axis=0)
-            nv2 = jnp.concatenate([nv, jnp.full((qj,), noise0)])
+            L2 = update_chol(L, Ks, m._kernel(p, Xj, Xj) + noise0 * jnp.eye(qj))
+            mm2 = jnp.concatenate([mm, jnp.ones((qj,), mm.dtype)])
 
             def branch(Yf_std_i, Yf_i, sub_stages, sub_bases):
                 resid2 = jnp.concatenate([resid, Yf_std_i - p.mean])
                 best2 = jnp.maximum(jnp.max(Yf_i), best)
                 return recurse(
-                    j + 1, X_aug2, nv2, resid2, best2, sub_stages, sub_bases
+                    j + 1, X_aug2, L2, mm2, resid2, best2, sub_stages, sub_bases
                 )
 
             vals = jax.vmap(branch)(
@@ -360,7 +357,7 @@ class qKStepLookahead(struct.PyTreeNode):
             return jnp.mean(vals)
 
         return recurse(
-            0, m.X, nv0, resid0, jnp.asarray(self.best_f),
+            0, m.X, self.cache[0][0], mm0, resid0, jnp.asarray(self.best_f),
             stages, list(self.bases),
         )
 

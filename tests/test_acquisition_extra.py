@@ -326,3 +326,32 @@ def test_k_step_lookahead_matches_unrolled():
     Xf4 = jnp.asarray(rng.uniform(size=(n4, 2)), jnp.float32)
     v, g = jax.value_and_grad(lambda x: k4(x))(Xf4)
     assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+
+
+def test_k_step_lookahead_masked_padding_equivalence():
+    """A padded (masked) model must give the same K-step tree value as the
+    unpadded model (identity rows in the cached factor decouple exactly)."""
+    from botorch_tpu.acquisition.multi_step_lookahead import qKStepLookahead, make_k_step
+
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.uniform(size=(9, 2)), jnp.float32)
+    Y = jnp.cos(4 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2, maxiter=20)
+    acqf = make_k_step(model, batch_sizes=(1, 1), num_fantasies=(4,),
+                       best_f=float(Y.max()), seed=11)
+
+    # padded model with the SAME hyperparameters
+    pad = 4
+    Xp = jnp.concatenate([X, jnp.zeros((pad, 2))])
+    Yp = jnp.concatenate([Y, jnp.zeros((pad, 1))])
+    mask = jnp.arange(9 + pad) < 9
+    mp = make_gp(Xp, Yp, mask=mask, params=model.params, standardize=False)
+    mp = mp.replace(Y_loc=model.Y_loc, Y_scale=model.Y_scale,
+                    Y=jnp.concatenate([model.Y, jnp.zeros((pad, 1))]))
+    acqf_p = qKStepLookahead(
+        model=mp, cache=mp.train_chol(), bases=acqf.bases,
+        best_f=acqf.best_f, batch_sizes=(1, 1), num_fantasies=(4,),
+    )
+    Xf = jnp.asarray(rng.uniform(size=(5, 2)), jnp.float32)
+    np.testing.assert_allclose(float(acqf(Xf)), float(acqf_p(Xf)),
+                               rtol=2e-4, atol=2e-5)
