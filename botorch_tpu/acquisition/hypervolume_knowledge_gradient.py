@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
-from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky
+from botorch_tpu.ops.chol import cholesky_solve, psd_safe_cholesky, update_chol
 from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
 from botorch_tpu.utils.multi_objective import (
     hypervolume_2d,
@@ -82,16 +82,14 @@ class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
         def per_output(out):
             p = jax.tree_util.tree_map(lambda a: a[..., out], m.params)
             p = p.replace(raw_lengthscale=m.params.raw_lengthscale[..., out, :])
-            K = m._kernel(p, X_aug, X_aug)
-            if m.Yvar is not None:
-                noise = jnp.concatenate(
-                    [m.Yvar[:, out],
-                     jnp.full((q,), jnp.mean(m.Yvar[:, out]))]
-                )
-            else:
-                noise = jnp.full((n_aug,), p.noise)
-            K = K + noise[:, None] * jnp.eye(n_aug)
-            L_aug = psd_safe_cholesky(K)
+            # O(n^2 q) border update of the cached per-output train factor
+            noise_new = jnp.full(
+                (q,),
+                p.noise if m.Yvar is None else jnp.mean(m.Yvar[:, out]),
+            )
+            B = m._kernel(p, m.X, X_actual)
+            C = m._kernel(p, X_actual, X_actual) + jnp.diag(noise_new)
+            L_aug = update_chol(self.cache[0][out], B, C)
             resid = jnp.concatenate(
                 [jnp.broadcast_to(m.Y[:, out] - p.mean, (nf, m.num_train)),
                  Yf_std[..., out] - p.mean],

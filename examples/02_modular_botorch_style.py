@@ -16,7 +16,10 @@ X = jnp.asarray(rng.uniform(size=(12, 6)), jnp.float32)
 Y = prob(unnormalize(X, prob.bounds))
 bounds = jnp.stack([jnp.zeros(6), jnp.ones(6)])
 
-for it in range(10):
+# NOTE: growing train shapes recompile each iteration (fine on CPU;
+# slow over a remote-TPU tunnel). For compiled-loop speed see
+# examples/01 (padded buffers). 6 iterations keep this demo snappy.
+for it in range(6):
     model = fit_gp(make_gp(X, Y[:, None]), jax.random.PRNGKey(it))
     acqf = get_acquisition_function(
         "qLogNEI", model, train_X=X, train_Y=Y, q=2, num_samples=128

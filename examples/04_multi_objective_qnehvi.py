@@ -19,7 +19,9 @@ Y = prob(X)
 ref = prob.ref_point
 bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
 
-for it in range(10):
+# 6 iterations: growing shapes recompile per iteration (see examples/01
+# for the padded compiled-loop pattern).
+for it in range(6):
     model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(it))
     acqf = make_qnehvi(
         qLogNoisyExpectedHypervolumeImprovement, model, ref, q=1,
