@@ -116,6 +116,10 @@ class MCAcquisitionFunction(struct.PyTreeNode):
             nmc, q, m = base.shape
             base = base.reshape(nmc, *([1] * extra), q, m)
         samples = post.rsample_from_base_samples(base)
+        if getattr(self.objective, "needs_X", False):
+            # point-dependent objectives (PenalizedMCObjective semantics,
+            # reference penalized.py:297) receive the candidate set too
+            return samples, self.objective(samples, X)
         return samples, self.objective(samples)
 
     def _log_feas(self, samples: Array) -> Array:

@@ -232,6 +232,109 @@ def get_chebyshev_scalarization(
     return obj
 
 
+# --------------------------------------------------------------------------- #
+# Multi-output MC objectives (reference `acquisition/multi_objective/
+# objective.py:21-145`) — map samples (..., q', m) -> (..., q', m'), used by
+# the hypervolume-based acquisition functions.
+# --------------------------------------------------------------------------- #
+def identity_mo_objective(outcomes: Optional[tuple] = None):
+    """`IdentityMCMultiOutputObjective` (reference
+    `multi_objective/objective.py:40`): pass-through, optionally selecting
+    a subset of output indices."""
+    if outcomes is None:
+        return lambda samples: samples
+    idx = jnp.asarray(outcomes)
+    return lambda samples: samples[..., idx]
+
+
+def weighted_mo_objective(weights: Array):
+    """`WeightedMCMultiOutputObjective` (reference
+    `multi_objective/objective.py:84`): elementwise reweighting of the
+    outputs (e.g. to flip minimization objectives)."""
+    w = jnp.asarray(weights)
+    return lambda samples: samples * w
+
+
+def feasibility_weighted_mo_objective(
+    constraints: tuple,
+    infeasible_cost: Array,
+    eta: float = 1e-3,
+    objective=None,
+):
+    """`FeasibilityWeightedMCMultiOutputObjective` (reference
+    `multi_objective/objective.py:105`): smoothly zeroes (shifts to the
+    infeasible floor) all outputs of infeasible samples. `constraints` are
+    callables `samples -> (..., q')` with feasibility `c(x) <= 0`;
+    `infeasible_cost` is the `M` floor per output (scalar or `(m,)`)."""
+    M = jnp.asarray(infeasible_cost)
+
+    def obj(samples: Array) -> Array:
+        vals = samples if objective is None else objective(samples)
+        w = 1.0
+        for c in constraints:
+            w = w * jnp.exp(logexpit(-c(samples) / eta))
+        return w[..., None] * (vals + M) - M
+
+    return obj
+
+
+def _reshape_w_mo(samples: Array, n_w: int) -> Array:
+    """(..., q * n_w, m) -> (..., q, n_w, m)."""
+    m = samples.shape[-1]
+    return samples.reshape(*samples.shape[:-2], -1, n_w, m)
+
+
+def multi_output_expectation(n_w: int, objective=None):
+    """`MultiOutputExpectation` (reference
+    `multi_output_risk_measures.py:110`): per-output mean over the
+    perturbation set."""
+
+    def obj(samples: Array) -> Array:
+        vals = samples if objective is None else objective(samples)
+        return jnp.mean(_reshape_w_mo(vals, n_w), axis=-2)
+
+    return obj
+
+
+def independent_cvar(n_w: int, alpha: float = 0.8, objective=None):
+    """`IndependentCVaR` (reference `multi_output_risk_measures.py:136`):
+    per-output CVaR over the perturbation set (mean of the worst
+    `1 - alpha` tail independently per output — an optimistic
+    approximation of the joint CVaR, as in the reference)."""
+    k = n_w - int(jnp.ceil(n_w * alpha))
+
+    def obj(samples: Array) -> Array:
+        vals = samples if objective is None else objective(samples)
+        sorted_vals = jnp.sort(_reshape_w_mo(vals, n_w), axis=-2)
+        return jnp.mean(sorted_vals[..., : k + 1, :], axis=-2)
+
+    return obj
+
+
+def independent_var(n_w: int, alpha: float = 0.8, objective=None):
+    """`IndependentVaR` (reference `multi_output_risk_measures.py:185`):
+    per-output `1 - alpha` quantile over the perturbation set."""
+    k = int(jnp.ceil(n_w * alpha)) - 1
+
+    def obj(samples: Array) -> Array:
+        vals = samples if objective is None else objective(samples)
+        sorted_vals = jnp.sort(_reshape_w_mo(vals, n_w), axis=-2)
+        return sorted_vals[..., n_w - 1 - k, :]
+
+    return obj
+
+
+def multi_output_worst_case(n_w: int, objective=None):
+    """`MultiOutputWorstCase` (reference
+    `multi_output_risk_measures.py:213`): per-output minimum."""
+
+    def obj(samples: Array) -> Array:
+        vals = samples if objective is None else objective(samples)
+        return jnp.min(_reshape_w_mo(vals, n_w), axis=-2)
+
+    return obj
+
+
 def learned_objective(pref_model, num_pref_samples: int = 1, seed: int = 0):
     """`LearnedObjective` (reference `acquisition/objective.py:474`): maps
     outcome samples `(..., q, m)` through a learned utility model (a

@@ -13,6 +13,7 @@ they stay jit/grad-transparent.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional
 
 import jax
@@ -89,30 +90,124 @@ class PenalizedAcquisitionFunction(struct.PyTreeNode):
 
 
 def l2_penalty(init_point: Array) -> Callable:
-    """`L2Penalty` (`penalized.py:45`)."""
+    """`L2Penalty` (`penalized.py:24-50`): max over the q-batch of the
+    squared L2 distance to the reference point."""
 
     def pen(X: Array) -> Array:
-        return jnp.sum(jnp.square(X - init_point))
+        sq = jnp.sum(jnp.square(X - init_point), axis=-1)
+        return jnp.max(sq, axis=-1)
 
     return pen
 
 
 def l1_penalty(init_point: Array) -> Callable:
-    """`L1Penalty` (`penalized.py:79`)."""
+    """`L1Penalty` (`penalized.py:53-78`): max over the q-batch of the L1
+    distance to the reference point."""
 
     def pen(X: Array) -> Array:
-        return jnp.sum(jnp.abs(X - init_point))
+        return jnp.max(jnp.sum(jnp.abs(X - init_point), axis=-1), axis=-1)
 
     return pen
 
 
 def gaussian_penalty(init_point: Array, sigma: float = 1.0) -> Callable:
-    """`GaussianPenalty` (`penalized.py:113`)."""
+    """`GaussianPenalty` (`penalized.py:81-108`): max over the q-batch of
+    `exp(||X - x0||^2 / (2 sigma^2))`."""
 
     def pen(X: Array) -> Array:
-        return jnp.sum(jnp.exp(jnp.sum(jnp.square(X - init_point), -1) / (2 * sigma**2)))
+        sq = jnp.sum(jnp.square(X - init_point), axis=-1)
+        return jnp.max(jnp.exp(sq / (2 * sigma**2)), axis=-1)
 
     return pen
+
+
+def group_lasso_regularizer(X: Array, groups) -> Callable:
+    """`group_lasso_regularizer` (`penalized.py:249-269`):
+    `sum_g sqrt(|g|) * ||X[g]||_2` for points `X (..., d)`."""
+    return sum(
+        math.sqrt(len(g)) * jnp.linalg.norm(X[..., jnp.asarray(g)], axis=-1)
+        for g in groups
+    )
+
+
+def group_lasso_penalty(init_point: Array, groups) -> Callable:
+    """`GroupLassoPenalty` (`penalized.py:110-140`). q=1 only, as in the
+    reference."""
+
+    def pen(X: Array) -> Array:
+        if X.shape[-2] != 1:
+            raise NotImplementedError("group-lasso requires q=1 (as in the reference)")
+        return group_lasso_regularizer(X[..., 0, :] - init_point, groups)
+
+    return pen
+
+
+def narrow_gaussian(X: Array, a) -> Array:
+    """`narrow_gaussian` (`penalized.py:143`)."""
+    return jnp.exp(-0.5 * jnp.square(X / a))
+
+
+def nnz_approx(X: Array, target_point: Array, a) -> Array:
+    """Differentiable relaxation of `||X - target||_0`
+    (`penalized.py:147-158`): `d - sum narrow_gaussian(X - target, a)`,
+    keeping the trailing singleton dim as the reference does."""
+    d = X.shape[-1]
+    return d - jnp.sum(narrow_gaussian(X - target_point, a), axis=-1, keepdims=True)
+
+
+def l0_approximation(target_point: Array, a: float = 1.0) -> Callable:
+    """`L0Approximation` (`penalized.py:161`)."""
+    return lambda X: nnz_approx(X, target_point, a)
+
+
+def l0_penalty_approx(target_point: Array, a: float = 1.0) -> Callable:
+    """`L0PenaltyApprox` (`penalized.py:180`): acqf-level penalty,
+    min over the q-batch of the relaxed L0 norm."""
+
+    def pen(X: Array) -> Array:
+        return jnp.min(nnz_approx(X, target_point, a)[..., 0], axis=-1)
+
+    return pen
+
+
+def l1_penalty_objective(init_point: Array) -> Callable:
+    """`L1PenaltyObjective` (`penalized.py:272`): per-point L1 penalty
+    `(batch, q, d) -> (1, batch, q)` for objective-level regularization."""
+
+    def pen(X: Array) -> Array:
+        return jnp.sum(jnp.abs(X - init_point), axis=-1)[None]
+
+    return pen
+
+
+def l0_penalty_approx_objective(target_point: Array, a: float = 1.0) -> Callable:
+    """`L0PenaltyApproxObjective` (`penalized.py:379`): per-point relaxed
+    L0 penalty `(batch, q, d) -> (1, batch, q)`."""
+
+    def pen(X: Array) -> Array:
+        return nnz_approx(X, target_point, a)[None, ..., 0]
+
+    return pen
+
+
+def penalized_mc_objective(
+    objective: Callable,
+    penalty_objective: Callable,
+    regularization_parameter: float,
+) -> Callable:
+    """`PenalizedMCObjective` (`penalized.py:297`): adds a point-dependent
+    penalty at the MC-objective level, BEFORE the q-reduction —
+    `obj(samples) - lambda * penalty(X)`. The returned callable takes
+    `(samples, X)`; MC acquisition functions detect the `needs_X` marker
+    and pass the candidate set through."""
+
+    def obj(samples: Array, X: Array) -> Array:
+        base = objective(samples)
+        pen = penalty_objective(X)  # (1, ..., q), broadcasts over samples
+        return base - regularization_parameter * pen
+
+    obj.needs_X = True
+    return obj
 
 
 class CostAwareAcquisitionFunction(struct.PyTreeNode):
