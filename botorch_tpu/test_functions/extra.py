@@ -316,3 +316,46 @@ CONSTRAINED_PROBLEMS = {
     c.__name__: c
     for c in [PressureVessel, TensionCompressionString, WeldedBeamSO, SpeedReducer]
 }
+
+
+class ConstrainedGramacy(ConstrainedSyntheticTestFunction):
+    """2-d Gramacy problem (reference `synthetic.py:889`): minimize
+    `x1 + x2` s.t. `1.5 - x1 - 2 x2 - 0.5 sin(2 pi (x1^2 - 2 x2)) <= 0`
+    and `x1^2 + x2^2 - 1.5 <= 0`."""
+
+    dim = 2
+    num_constraints = 2
+    _bounds = [(0.0, 1.0), (0.0, 1.0)]
+    _optimal_value = 0.5998
+    _optimizers = [(0.1954, 0.4044)]
+
+    def evaluate_true(self, X):
+        return jnp.sum(X, axis=-1)
+
+    def evaluate_slack(self, X):
+        x1, x2 = X[..., 0], X[..., 1]
+        c1 = 1.5 - x1 - 2 * x2 - 0.5 * jnp.sin(
+            2 * math.pi * (jnp.square(x1) - 2 * x2)
+        )
+        c2 = jnp.square(x1) + jnp.square(x2) - 1.5
+        return jnp.stack([-c1, -c2], axis=-1)
+
+
+class ConstrainedHartmann(Hartmann, ConstrainedSyntheticTestFunction):
+    """Hartmann with `||x||_2 <= 1` (reference `synthetic.py:922`,
+    [Letham2019])."""
+
+    num_constraints = 1
+
+    def evaluate_slack(self, X):
+        return 1.0 - jnp.linalg.norm(X, axis=-1, keepdims=True)
+
+
+class ConstrainedHartmannSmooth(Hartmann, ConstrainedSyntheticTestFunction):
+    """Hartmann with the smooth constraint `||x||_2^2 <= 1` (reference
+    `synthetic.py:960`)."""
+
+    num_constraints = 1
+
+    def evaluate_slack(self, X):
+        return 1.0 - jnp.sum(jnp.square(X), axis=-1, keepdims=True)

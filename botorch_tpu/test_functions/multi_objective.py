@@ -881,3 +881,112 @@ MO_PROBLEMS = {
         MOMFBraninCurrin, MOMFPark,
     ]
 }
+
+
+# --------------------------------------------------------------------------- #
+# DH problems for robust multi-objective optimization ([Deb2005robust];
+# reference `multi_objective.py:154-330`)
+# --------------------------------------------------------------------------- #
+class DH(MultiObjectiveTestProblem):
+    """Base for the DH robust-MO family (2 objectives, minimization;
+    reference `multi_objective.py:154`)."""
+
+    num_objectives = 2
+    _ref_point = [1.1, 1.1]
+    _optimal_value = float("nan")
+    _x_1_lb: float
+    _area_under_curve: float
+    _min_dim: int
+
+    def __init__(self, dim: int, noise_std: float = 0.0, negate: bool = False):
+        if dim < self._min_dim:
+            raise ValueError(f"dim must be >= {self._min_dim}, got {dim}")
+        self.dim = dim
+        self._bounds = [(0.0, 1.0), (self._x_1_lb, 1.0)] + [
+            (-1.0, 1.0) for _ in range(dim - 2)
+        ]
+        self._max_hv = (
+            self._ref_point[0] * self._ref_point[1] - self._area_under_curve
+        )
+        super().__init__(noise_std=noise_std, negate=negate)
+
+
+class DH1(DH):
+    """`f_0 = x_0`, `f_1 = (1 - x_0^2) + g(x) S(x_0)` with Rastrigin-style
+    `g` and `S = alpha/(0.2 + x_0) + beta x_0^2` (reference
+    `multi_objective.py:213`). Pareto front `f_1 = 1 - f_0^2`."""
+
+    alpha = 1.0
+    beta = 1.0
+    _x_1_lb = -1.0
+    _area_under_curve = 2.0 / 3.0
+    _min_dim = 2
+
+    def _h(self, X):
+        return 1.0 - jnp.square(X[..., 0])
+
+    def _g(self, X):
+        xt = X[..., 1:]
+        return jnp.sum(
+            10.0 + jnp.square(xt) - 10.0 * jnp.cos(4 * math.pi * xt), axis=-1
+        )
+
+    def _S(self, X):
+        x0 = X[..., 0]
+        return self.alpha / (0.2 + x0) + self.beta * jnp.square(x0)
+
+    def evaluate_true(self, X):
+        f0 = X[..., 0]
+        gs = self._g(X) * self._S(X)
+        f1 = self._h(X) + jnp.nan_to_num(gs)
+        return jnp.stack([f0, f1], axis=-1)
+
+
+class DH2(DH1):
+    """DH1 with `beta = 10` (reference `multi_objective.py:257`)."""
+
+    beta = 10.0
+
+
+class DH3(DH):
+    """`f_1 = h(x_1) (g + S)` with a bimodal `h` (local front at
+    `x_1 = 0.35`, global at `x_1 = 0.85`; reference
+    `multi_objective.py:266`)."""
+
+    _x_1_lb = 0.0
+    _area_under_curve = 0.328449169794718
+    _min_dim = 3
+
+    @staticmethod
+    def _exp_args(x):
+        return (
+            -jnp.square((x - 0.35) / 0.25),
+            -jnp.square((x - 0.85) / 0.03),
+        )
+
+    def _h(self, X):
+        e1, e2 = self._exp_args(X[..., 1])
+        return 2.0 - 0.8 * jnp.exp(e1) - jnp.exp(e2)
+
+    def _g(self, X):
+        return 50.0 * jnp.sum(jnp.square(X[..., 2:]), axis=-1)
+
+    def _S(self, X):
+        return 1.0 - jnp.sqrt(X[..., 0])
+
+    def evaluate_true(self, X):
+        f0 = X[..., 0]
+        f1 = self._h(X) * (self._g(X) + self._S(X))
+        return jnp.stack([f0, f1], axis=-1)
+
+
+class DH4(DH3):
+    """DH3 with `h` over `x_0 + x_1` and bounds `[0,1] x [-0.15,1] x
+    [-1,1]^{d-2}` (reference `multi_objective.py:310`)."""
+
+    _x_1_lb = -0.15
+    _area_under_curve = 0.22845
+
+    def _h(self, X):
+        e1, e2 = self._exp_args(jnp.sum(X[..., :2], axis=-1))
+        return 2.0 - X[..., 0] - 0.8 * jnp.exp(e1) - jnp.exp(e2)

@@ -178,3 +178,76 @@ def test_car_side_impact_violation_objective():
     Y = np.asarray(prob(jnp.asarray([[1.0, 1.0, 1.0, 1.0, 1.5, 0.8, 0.8]])))
     assert Y.shape == (1, 4)
     assert Y[0, 3] >= 0  # violation sum is nonnegative
+
+
+def test_dh_family_pareto_relations():
+    from botorch_tpu.test_functions.multi_objective import DH1, DH2, DH3, DH4
+
+    x0 = np.linspace(0.01, 1, 5)
+    X = np.zeros((5, 4))
+    X[:, 0] = x0
+    for cls in (DH1, DH2):
+        p = cls(dim=4)
+        F = np.asarray(p.evaluate_true(jnp.asarray(X)))
+        # on the Pareto set (x_i = 0, i > 0): f_0 = x_0, f_1 = 1 - x_0^2
+        np.testing.assert_allclose(F[:, 0], x0, rtol=1e-6)
+        np.testing.assert_allclose(F[:, 1], 1 - x0**2, atol=1e-6)
+    # DH2 is harsher off the front than DH1 (beta 10 vs 1)
+    Xoff = np.full((1, 4), 0.5)
+    f1_dh1 = float(DH1(dim=4).evaluate_true(jnp.asarray(Xoff))[0, 1])
+    f1_dh2 = float(DH2(dim=4).evaluate_true(jnp.asarray(Xoff))[0, 1])
+    assert f1_dh2 > f1_dh1
+    # DH3/DH4 global fronts approximately f_1 = 1 - sqrt(f_0)
+    X3 = np.zeros((5, 5))
+    X3[:, 0] = x0
+    X3[:, 1] = 0.85
+    F3 = np.asarray(DH3(dim=5).evaluate_true(jnp.asarray(X3)))
+    np.testing.assert_allclose(F3[:, 1], 1 - np.sqrt(x0), atol=0.05)
+    p4 = DH4(dim=5)
+    assert p4.bounds[0, 1] == -0.15
+    # max_hv follows the ref-box-minus-curve-area identity
+    np.testing.assert_allclose(DH1(dim=4).max_hv, 1.21 - 2.0 / 3.0, rtol=1e-6)
+    # dim floor enforcement
+    try:
+        DH3(dim=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_constrained_gramacy_and_hartmann():
+    from botorch_tpu.test_functions.extra import (
+        ConstrainedGramacy,
+        ConstrainedHartmann,
+        ConstrainedHartmannSmooth,
+    )
+    from botorch_tpu.test_functions.synthetic import Hartmann
+
+    cg = ConstrainedGramacy()
+    xopt = jnp.asarray([[0.1954, 0.4044]])
+    np.testing.assert_allclose(
+        float(cg.evaluate_true(xopt)[0]), cg._optimal_value, rtol=1e-3
+    )
+    assert bool(cg.is_feasible(xopt)[0])
+    # interior point of the sin constraint is infeasible
+    assert not bool(cg.is_feasible(jnp.asarray([[0.0, 0.0]]))[0])
+
+    X6 = jnp.full((1, 6), 0.3)
+    ch = ConstrainedHartmann(dim=6)
+    np.testing.assert_allclose(
+        float(ch.evaluate_true(X6)[0]),
+        float(Hartmann(dim=6).evaluate_true(X6)[0]),
+        rtol=1e-6,
+    )
+    # ||x|| = 0.99 -> slack 0.01 ; ||x||^2 = 1 -> smooth slack 0
+    np.testing.assert_allclose(
+        float(ch.evaluate_slack(jnp.asarray([[0.99, 0, 0, 0, 0, 0]]))[0, 0]),
+        0.01,
+        atol=1e-6,
+    )
+    chs = ConstrainedHartmannSmooth(dim=6)
+    np.testing.assert_allclose(
+        float(chs.evaluate_slack(jnp.ones((1, 6)) / np.sqrt(6.0))[0, 0]),
+        0.0,
+        atol=1e-5,
+    )
