@@ -289,6 +289,88 @@ def make_mo_jes(
     )
 
 
+def compute_sample_box_decomposition(
+    pareto_fronts: Array, maximize: bool = True
+) -> Array:
+    """Public counterpart of the reference
+    `multi_objective/utils.py:164` `compute_sample_box_decomposition`:
+    per-sample dominated-region hypercell bounds for
+    `pareto_fronts (K, P, M)`, padded to a common box count `J`. Returns
+    `(K, 2, J, M)` stacked `[lower, upper]` bounds (the reference's layout,
+    without the constraint padding)."""
+    K, P, M = pareto_fronts.shape
+    sign = 1.0 if maximize else -1.0
+    mask = jnp.ones((K, P))
+    lo, up = _front_cells(sign * pareto_fronts, mask, M)
+    return jnp.stack([sign * lo, sign * up], axis=1) if maximize else jnp.stack(
+        [sign * up, sign * lo], axis=1
+    )
+
+
+# ====================================================================== #
+# MESMO-LB: lower-bound multi-objective max-value entropy search
+# ====================================================================== #
+class qLowerBoundMultiObjectiveMaxValueEntropy(struct.PyTreeNode):
+    """Lower-bound MO max-value entropy search (reference
+    `multi_objective/max_value_entropy_search.py:189`
+    `qLowerBoundMultiObjectiveMaxValueEntropySearch`): mutual information
+    between the observation and the sampled Pareto FRONT (objective
+    values only — no conditioning on the optimal inputs, unlike MO-JES).
+
+    `H[y] - E_front H[y | f in dominated(front)]` with the truncated
+    entropy evaluated cell-by-cell over the dominated-region box
+    decomposition (the reference's "LB" estimator)."""
+
+    model: SingleTaskGP
+    cache: tuple
+    cell_lower: Array  # (K, C, m)
+    cell_upper: Array  # (K, C, m)
+
+    def __call__(self, X: Array) -> Array:
+        m = self.model
+        noise = _output_noise(m)
+        X = jnp.atleast_2d(X)
+        q = X.shape[0]
+        post = m.posterior(X, cache=self.cache)
+        h0 = _joint_entropy_with_noise(post.cov, noise)
+        mean = post.mean  # (q, m)
+        var = jnp.clip(
+            jnp.diagonal(post.cov, axis1=-2, axis2=-1).T, 1e-12
+        )  # (q, m)
+
+        def per_front(lo, up):
+            def per_candidate(j):
+                return _entropy_cells_noisy(mean[j], var[j], noise, lo, up)
+
+            return jnp.sum(jax.vmap(per_candidate)(jnp.arange(q)))
+
+        hks = jax.vmap(per_front)(self.cell_lower, self.cell_upper)
+        return h0 - jnp.mean(hks)
+
+
+def make_mesmo_lb(
+    model: SingleTaskGP,
+    bounds: Array,
+    key: Array,
+    num_pareto_samples: int = 8,
+    num_pareto_points: int = 10,
+    grid_size: int = 512,
+    num_features: int = 512,
+) -> qLowerBoundMultiObjectiveMaxValueEntropy:
+    """Sample Pareto fronts pathwise and build the LB MO-MES acqf."""
+    _, Y_star, mask = sample_pareto_points(
+        model, bounds, key, num_pareto_samples, num_pareto_points,
+        grid_size, num_features,
+    )
+    lo, up = _front_cells(Y_star, mask, model.num_outputs)
+    return qLowerBoundMultiObjectiveMaxValueEntropy(
+        model=model,
+        cache=model.train_chol(),
+        cell_lower=lo,
+        cell_upper=up,
+    )
+
+
 # ====================================================================== #
 # MO-PES
 # ====================================================================== #

@@ -603,3 +603,51 @@ def test_mo_jes_pes_qbatch():
             jax.random.uniform(jax.random.PRNGKey(5), (2, 2))
         )
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mesmo_lb_information_gain_properties():
+    """MESMO-LB: MI is positive, decreases with distance from the data/
+    front region, and handles q-batches."""
+    from botorch_tpu.acquisition.multi_objective_entropy_search import (
+        make_mesmo_lb,
+    )
+
+    model = _toy_mo_model()
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    acqf = make_mesmo_lb(
+        model, bounds, jax.random.PRNGKey(2),
+        num_pareto_samples=4, num_pareto_points=6, grid_size=128,
+        num_features=128,
+    )
+    v_mid = float(acqf(jnp.asarray([[0.5, 0.5]])))
+    assert np.isfinite(v_mid)
+    # MI at an observed training point is smaller than at a far point
+    # with high posterior uncertainty
+    v_train = float(acqf(model.X[:1]))
+    assert v_train <= v_mid + 1e-3
+    # q-batch path
+    vq = float(acqf(jnp.asarray([[0.5, 0.5], [0.9, 0.1]])))
+    assert np.isfinite(vq)
+
+
+def test_compute_sample_box_decomposition_layout():
+    from botorch_tpu.acquisition.multi_objective_entropy_search import (
+        compute_sample_box_decomposition,
+    )
+    from botorch_tpu.utils.multi_objective import hypervolume
+
+    fronts = jnp.asarray(
+        [[[1.0, 3.0], [2.0, 2.0], [3.0, 1.0]],
+         [[0.5, 0.5], [0.4, 0.6], [0.6, 0.4]]]
+    )  # (K=2, P=3, M=2)
+    B = compute_sample_box_decomposition(fronts)
+    assert B.shape[0] == 2 and B.shape[1] == 2 and B.shape[-1] == 2
+    lo, up = B[:, 0], B[:, 1]
+    assert bool(jnp.all(up >= lo))
+    # cells tile the dominated region: total clipped volume above a ref
+    # point equals the dominated hypervolume
+    ref = jnp.asarray([0.0, 0.0])
+    vol = jnp.prod(jnp.clip(up, 0.0) - jnp.clip(lo, 0.0), axis=-1).sum(-1)
+    hv0 = hypervolume(fronts[0], ref)
+    hv1 = hypervolume(fronts[1], ref)
+    np.testing.assert_allclose(np.asarray(vol), [hv0, hv1], rtol=1e-5)
