@@ -386,3 +386,124 @@ def get_best_candidates(batch_candidates: Array, batch_values: Array) -> Array:
     `generation/gen.py:427`); non-finite values are excluded."""
     vals = jnp.where(jnp.isfinite(batch_values), batch_values, -jnp.inf)
     return batch_candidates[jnp.argmax(vals)]
+
+
+def gen_one_shot_hvkg_initial_conditions(
+    acqf,
+    bounds: Array,
+    num_restarts: int,
+    raw_samples: int,
+    key: Optional[Array] = None,
+    frac_random: float = 0.1,
+    seed: int = 0,
+    num_inner_restarts: int = 4,
+) -> Array:
+    """One-shot HVKG initial conditions (reference
+    `optim/initializers.py:560` `gen_one_shot_hvkg_initial_conditions`):
+    for `1 - frac_random` of the restarts, the fantasy solution-set
+    coordinates are seeded with hypervolume-maximizing sets of the CURRENT
+    posterior mean (each obtained from a different optimizer restart),
+    since those are close to the fantasy-optimal sets. The remaining
+    restarts (and all `q` candidate blocks) use the standard heuristic.
+    """
+    if not 0.0 < frac_random < 1.0:
+        raise ValueError("frac_random must be in (0, 1)")
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    q, nf, qi = acqf.q, acqf.num_fantasies, acqf.q_inner
+    q_aug = acqf.get_augmented_q_batch_size()
+    d = bounds.shape[-1]
+    k_ic, k_hv, k_pick = jax.random.split(key, 3)
+    ics = gen_batch_initial_conditions(
+        acqf, bounds, q_aug, num_restarts, raw_samples, key=k_ic, seed=seed
+    )
+
+    model = acqf.model
+    ref_point = acqf.ref_point
+    from botorch_tpu.utils.multi_objective import hypervolume_2d, hypervolume_incl_excl
+
+    hv_fn = hypervolume_2d if ref_point.shape[-1] == 2 else hypervolume_incl_excl
+
+    def hv_value(X_sol: Array) -> Array:  # (qi, d) -> scalar
+        mu = model.posterior(X_sol).mean  # (qi, m)
+        if acqf.project is not None:
+            mu = model.posterior(acqf.project(X_sol)).mean
+        return hv_fn(mu, ref_point)
+
+    sol_sets, _ = optimize_acqf(
+        hv_value,
+        bounds,
+        q=qi,
+        num_restarts=num_inner_restarts,
+        raw_samples=raw_samples,
+        key=k_hv,
+        seed=seed + 1,
+        return_full=True,
+    )  # (num_inner_restarts, qi, d)
+
+    n_opt = int(round(num_restarts * (1.0 - frac_random)))
+    if n_opt == 0:
+        return ics
+    pick = jax.random.randint(k_pick, (n_opt, nf), 0, sol_sets.shape[0])
+    repl = sol_sets[pick].reshape(n_opt, nf * qi, d)
+    return ics.at[:n_opt, q:, :].set(repl)
+
+
+def warmstart_multistep(
+    acqf,
+    bounds: Array,
+    num_restarts: int,
+    raw_samples: int,
+    full_optimizer: Array,
+    key: Optional[Array] = None,
+    seed: int = 0,
+) -> Array:
+    """Warm-start ICs for multi-step lookahead (reference
+    `acquisition/multi_step_lookahead.py:595` `warmstart_multistep`):
+    perturb the previous iteration's full optimizer tree with
+    Beta(1, 3)-mixed noise whose weight increases down the tree
+    (deeper stages are perturbed more), mix whole trees toward uniform
+    with increasing alpha across raw samples, score, and Boltzmann-select
+    `num_restarts` trees.
+
+    `full_optimizer`: `(B, q_aug, d)` trees from the previous round
+    (`optimize_acqf(..., return_full=True)` candidates).
+    """
+    import math as _math
+
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    B, q_aug, d = full_optimizer.shape
+    batch_sizes = list(acqf.batch_sizes)
+    num_fantasies = list(acqf.num_fantasies)
+    sizes, branches = [], 1
+    for k_stage, qk in enumerate(batch_sizes):
+        sizes.append(branches * qk)
+        if k_stage < len(num_fantasies):
+            branches *= num_fantasies[k_stage]
+    assert sum(sizes) == q_aug
+
+    n_repeat = _math.ceil(raw_samples / B)
+    alphas = jnp.linspace(0.0, 0.75, n_repeat)
+    etas = jnp.linspace(0.1, 1.0, len(sizes))
+
+    k_beta, k_unif, k_sel = jax.random.split(key, 3)
+    # Beta(1,3) layer perturbations, stronger for deeper stages
+    pert = bounds[0] + (bounds[1] - bounds[0]) * jax.random.beta(
+        k_beta, 1.0, 3.0, (B, q_aug, d)
+    )
+    eta_per_row = jnp.concatenate(
+        [jnp.full((s,), etas[i]) for i, s in enumerate(sizes)]
+    )[:, None]
+    X_layer = (1.0 - eta_per_row) * full_optimizer + eta_per_row * pert
+
+    # whole-tree mixing toward uniform with increasing alpha
+    unif = bounds[0] + (bounds[1] - bounds[0]) * jax.random.uniform(
+        k_unif, (n_repeat, B, q_aug, d)
+    )
+    X_raw = (
+        (1.0 - alphas[:, None, None, None]) * X_layer + alphas[:, None, None, None] * unif
+    ).reshape(n_repeat * B, q_aug, d)
+
+    vals = jax.lax.map(acqf, X_raw)
+    return initialize_q_batch(k_sel, X_raw, vals, num_restarts)

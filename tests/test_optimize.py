@@ -128,3 +128,61 @@ def test_one_shot_auto_handling():
     with pytest.raises(ValueError):
         optimize_acqf(kg, bounds, q=3, num_restarts=2, raw_samples=8,
                       key=jax.random.PRNGKey(2), maxiter=5)
+
+
+def test_gen_one_shot_hvkg_initial_conditions():
+    from botorch_tpu.acquisition.hypervolume_knowledge_gradient import make_qhvkg
+    from botorch_tpu.fit import fit_gp
+    from botorch_tpu.models.gp import make_gp
+    from botorch_tpu.optim.optimize import gen_one_shot_hvkg_initial_conditions
+    from botorch_tpu.utils.multi_objective import hypervolume_2d
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (10, 2))
+    Y = jnp.stack(
+        [-jnp.sum((X - 0.25) ** 2, -1), -jnp.sum((X - 0.75) ** 2, -1)], -1
+    )
+    model = fit_gp(make_gp(X, Y), num_restarts=2, maxiter=30)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    ref = jnp.asarray([-1.0, -1.0])
+    hvkg = make_qhvkg(model, ref_point=ref, q=1, num_fantasies=3, q_inner=4)
+    ics = gen_one_shot_hvkg_initial_conditions(
+        hvkg, bounds, num_restarts=5, raw_samples=32, seed=2, frac_random=0.4
+    )
+    assert ics.shape == (5, hvkg.get_augmented_q_batch_size(), 2)
+    assert bool(jnp.all((ics >= 0) & (ics <= 1)))
+    # the seeded fantasy solution sets achieve near-optimal posterior-mean
+    # hypervolume (they were optimized for it)
+    sol0 = ics[0, 1:, :].reshape(3, 4, 2)
+    hv_seeded = float(hypervolume_2d(model.posterior(sol0[0]).mean, ref))
+    X_rand = jax.random.uniform(jax.random.PRNGKey(9), (64, 4, 2))
+    hv_rand = float(
+        jnp.mean(
+            jax.vmap(lambda x: hypervolume_2d(model.posterior(x).mean, ref))(X_rand)
+        )
+    )
+    assert hv_seeded > hv_rand
+
+
+def test_warmstart_multistep_shapes_and_domain():
+    from botorch_tpu.acquisition.multi_step_lookahead import make_k_step
+    from botorch_tpu.fit import fit_gp
+    from botorch_tpu.models.gp import make_gp
+    from botorch_tpu.optim.optimize import warmstart_multistep
+
+    key = jax.random.PRNGKey(0)
+    X = jax.random.uniform(key, (10, 2))
+    Y = jnp.sin(5 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), num_restarts=2, maxiter=30)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    ms = make_k_step(
+        model, batch_sizes=(1, 1), num_fantasies=(3,), seed=0,
+        best_f=float(Y.max()),
+    )
+    qa = ms.get_augmented_q_batch_size()
+    prev = jax.random.uniform(jax.random.PRNGKey(5), (4, qa, 2))
+    ws = warmstart_multistep(
+        ms, bounds, num_restarts=3, raw_samples=8, full_optimizer=prev
+    )
+    assert ws.shape == (3, qa, 2)
+    assert bool(jnp.all((ws >= 0) & (ws <= 1)))
