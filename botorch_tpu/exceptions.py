@@ -52,3 +52,26 @@ class SamplingWarning(BotorchTPUWarning):
 
 class NumericsWarning(BotorchTPUWarning):
     """A numerically fragile legacy path was used (prefer the Log variant)."""
+
+
+# Reference-name aliases (migration ease; reference `exceptions/errors.py`,
+# `exceptions/warnings.py`)
+BotorchError = BotorchTPUError
+BotorchWarning = BotorchTPUWarning
+BotorchTensorDimensionError = TensorDimensionError
+
+
+class DeprecationError(BotorchTPUError):
+    """Reference `exceptions/errors.py` `DeprecationError`."""
+
+
+class UserInputWarning(BotorchTPUWarning):
+    """Reference `exceptions/warnings.py` `UserInputWarning`."""
+
+
+class CostAwareWarning(BotorchTPUWarning):
+    """Reference `exceptions/warnings.py` `CostAwareWarning`."""
+
+
+class BotorchTensorDimensionWarning(BotorchTPUWarning):
+    """Reference `exceptions/warnings.py` `BotorchTensorDimensionWarning`."""

@@ -230,7 +230,7 @@ def load_saas_samples(z_samples: Array, base: SingleTaskGP) -> SingleTaskGP:
         )
 
     params = jax.vmap(one)(z_samples)  # leading (S, m=1, ...)
-    return base.replace(params=params)
+    return base.replace(params=params, _is_fully_bayesian=True)
 
 
 def median_lengthscales(model: SingleTaskGP) -> Array:

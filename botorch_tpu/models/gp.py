@@ -94,6 +94,9 @@ class SingleTaskGP(struct.PyTreeNode):
     mask: Optional[Array] = None  # (n,) validity mask for padded train data
     kernel: str = struct.field(pytree_node=False, default="rbf")
     use_outputscale: bool = struct.field(pytree_node=False, default=False)
+    # marks NUTS-fitted ensembles (reference `utils/transforms.py:196`
+    # `is_fully_bayesian`); fantasy batches leave this False
+    _is_fully_bayesian: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------ #
     @property

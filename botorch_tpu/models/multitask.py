@@ -152,7 +152,19 @@ def make_multitask_gp(
     feat = [i for i in range(d_full) if i != task_feature]
     X = train_X[:, jnp.asarray(feat)]
     task_ids = train_X[:, task_feature].astype(jnp.int32)
-    T = int(num_tasks) if num_tasks is not None else int(jnp.max(task_ids)) + 1
+    # remap non-contiguous task values to 0..k-1 (reference
+    # `multitask.py:87` `get_task_value_remapping`)
+    uniq = jnp.unique(task_ids)
+    mapper = get_task_value_remapping(uniq)
+    if mapper is not None:
+        task_ids = mapper[task_ids].astype(jnp.int32)
+        output_task = int(mapper[output_task]) if output_task in [
+            int(v) for v in uniq
+        ] else output_task
+        T_default = uniq.shape[0]
+    else:
+        T_default = int(jnp.max(task_ids)) + 1
+    T = int(num_tasks) if num_tasks is not None else T_default
     loc = jnp.mean(train_Y)
     scale = jnp.std(train_Y) + 1e-8
     d = len(feat)
@@ -373,3 +385,17 @@ def fit_kronecker_mtgp(
         raw_lengthscale=ls, raw_outputscale=os_, raw_noise=rn,
         task_factor=tf, raw_task_diag=td, mean_const=mc,
     )
+
+
+def get_task_value_remapping(task_values: Array) -> Optional[Array]:
+    """Map arbitrary sorted integer task values to contiguous `0..k-1`
+    floats (reference `models/multitask.py:87`): `mapper[task_value]`
+    yields the new id; values absent from `task_values` map to NaN.
+    Returns None when the values are already `0..k-1`."""
+    k = task_values.shape[0]
+    task_range = jnp.arange(k, dtype=task_values.dtype)
+    if bool(jnp.all(task_values == task_range)):
+        return None
+    size = int(task_values.max()) + 1
+    mapper = jnp.full((size,), jnp.nan, jnp.float32)
+    return mapper.at[task_values].set(jnp.arange(k, dtype=jnp.float32))

@@ -450,3 +450,35 @@ class _Unnormalize(struct.PyTreeNode):
 
     def untransform(self, X: Array) -> Array:
         return Normalize(bounds=self.bounds).transform(X)
+
+
+# --------------------------------------------------------------------------- #
+# Log-normal <-> normal moment maps (reference `models/transforms/utils.py`
+# `lognorm_to_norm`, `norm_to_lognorm`, `norm_to_lognorm_mean/_variance`)
+# --------------------------------------------------------------------------- #
+def norm_to_lognorm_mean(mu: Array, var: Array) -> Array:
+    """`E[exp(X)] = exp(mu + var / 2)` (reference `transforms/utils.py`)."""
+    return jnp.exp(mu + var / 2.0)
+
+
+def norm_to_lognorm_variance(mu: Array, var: Array) -> Array:
+    """`Var[exp(X)] = exp(2 mu + var) (exp(var) - 1)`."""
+    return jnp.exp(2.0 * mu + var) * (jnp.exp(var) - 1.0)
+
+
+def norm_to_lognorm(mu: Array, Cov: Array) -> tuple[Array, Array]:
+    """Moments of `exp(X)` for `X ~ N(mu, Cov)` (reference
+    `transforms/utils.py` `norm_to_lognorm`)."""
+    diag = jnp.diagonal(Cov, axis1=-2, axis2=-1)
+    b = mu + 0.5 * diag
+    mu_ln = jnp.exp(b)
+    Cov_ln = (jnp.exp(Cov) - 1.0) * jnp.exp(b[..., :, None] + b[..., None, :])
+    return mu_ln, Cov_ln
+
+
+def lognorm_to_norm(mu: Array, Cov: Array) -> tuple[Array, Array]:
+    """Moments of `log(Y)` for log-normal `Y` with moments `(mu, Cov)`
+    (reference `transforms/utils.py` `lognorm_to_norm`)."""
+    Cov_n = jnp.log1p(Cov / (mu[..., :, None] * mu[..., None, :]))
+    mu_n = jnp.log(mu) - 0.5 * jnp.diagonal(Cov_n, axis1=-2, axis2=-1)
+    return mu_n, Cov_n

@@ -88,3 +88,19 @@ class GaussianPosterior(struct.PyTreeNode):
             ..., :, None, None
         ]
         return GaussianPosterior(mean=mean, cov=cov)
+
+
+def scalarize_posterior(
+    post: "GaussianPosterior", weights: Array, offset: float = 0.0
+) -> "GaussianPosterior":
+    """Affine scalarization `w . f(x) + offset` of a multi-output Gaussian
+    posterior into a single-output one (reference
+    `posteriors/gpytorch.py:192` `scalarize_posterior`). Outputs are
+    independent in this posterior layout, so the scalarized covariance is
+    `sum_m w_m^2 Sigma_m`."""
+    w = jnp.asarray(weights)
+    mean = jnp.sum(post.mean * w, axis=-1, keepdims=True) + offset
+    cov = jnp.sum(
+        post.cov * jnp.square(w)[..., :, None, None], axis=-3, keepdims=True
+    )
+    return GaussianPosterior(mean=mean, cov=cov)

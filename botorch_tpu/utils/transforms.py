@@ -46,3 +46,40 @@ def standardize(Y: Array) -> Array:
     std = jnp.std(Y, axis=stddim, ddof=1, keepdims=True)
     std = jnp.where(std < 1e-12, 1.0, std)
     return (Y - mean) / std
+
+
+def match_batch_shape(X, Y):
+    """Expand `X`'s batch dims (all but the last two) to match `Y`'s
+    (reference `utils/transforms.py:339`): right-aligned broadcast, used
+    when concatenating pending/baseline points onto batched candidates."""
+    import jax.numpy as _jnp
+
+    target = Y.shape[:-2] + X.shape[-2:]
+    return _jnp.broadcast_to(X, target)
+
+
+def is_ensemble(model) -> bool:
+    """True if the model carries an extra leading (ensemble) batch axis —
+    fantasy or MCMC (reference `utils/transforms.py:212`)."""
+    bs = getattr(model, "batch_shape", ())
+    return len(tuple(bs)) > 0
+
+
+def is_fully_bayesian(model) -> bool:
+    """True for NUTS-fitted ensemble models (reference
+    `utils/transforms.py:196`): the model exposes an MCMC ensemble axis
+    (`num_mcmc_samples` attribute set by the SAAS loaders) or a nonempty
+    batch shape tagged as fully Bayesian."""
+    if getattr(model, "num_mcmc_samples", None):
+        return True
+    return bool(getattr(model, "_is_fully_bayesian", False))
+
+
+def standardize_moments(mean, variance):
+    """Standardize a Gaussian's moments by the mean/std of `mean`
+    (reference `utils/test_helpers.py` `standardize_moments`)."""
+    import jax.numpy as _jnp
+
+    mu = _jnp.mean(mean, axis=-2, keepdims=True)
+    sd = _jnp.std(mean, axis=-2, keepdims=True)
+    return (mean - mu) / sd, variance / _jnp.square(sd)
