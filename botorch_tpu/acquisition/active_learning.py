@@ -112,3 +112,39 @@ def feasible_volume_mc(
     for c in constraints:
         feas = feas & (c(mean) <= 0)
     return jnp.mean(feas.astype(jnp.float32))
+
+
+def get_feasible_samples(samples: Array, inequality_constraints=None):
+    """Filter `(n, d)` samples by linear constraints
+    `sum_i coef_i x[idx_i] >= rhs` (reference
+    `utils/feasible_volume.py:21` `get_feasible_samples`). Returns
+    `(feasible_samples, estimated_feasible_fraction)`."""
+    if inequality_constraints is None:
+        return samples, 1.0
+    feas = jnp.ones((samples.shape[0],), bool)
+    for idx, coef, rhs in inequality_constraints:
+        lhs = samples[:, jnp.asarray(idx)] @ jnp.asarray(coef)
+        feas = feas & (lhs >= rhs)
+    frac = float(jnp.mean(feas.astype(jnp.float32)))
+    return samples[feas], frac
+
+
+def get_outcome_feasibility_probability(
+    model,
+    X: Array,
+    outcome_constraints,
+    key: Array,
+    nsample_outcome: int = 1000,
+    threshold: float = 0.1,
+) -> float:
+    """MC probability that posterior outcome samples at `X` are feasible
+    under `c(samples) <= threshold` constraints (reference
+    `utils/feasible_volume.py:60`)."""
+    if not outcome_constraints:
+        return 1.0
+    post = model.posterior(X)
+    ys = post.rsample(key, (nsample_outcome,))  # (s, n, m)
+    feas = jnp.ones(ys.shape[:-1], bool)
+    for c in outcome_constraints:
+        feas = feas & (c(ys) <= threshold)
+    return float(jnp.mean(feas.astype(jnp.float32)))

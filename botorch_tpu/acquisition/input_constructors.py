@@ -291,3 +291,53 @@ ACQF_INPUT_CONSTRUCTOR_REGISTRY = {
     name: _with_name(fn, name)
     for name, fn in ACQF_INPUT_CONSTRUCTOR_REGISTRY.items()
 }
+
+
+def optimize_objective(
+    model,
+    bounds,
+    q: int,
+    objective=None,
+    mc_samples: int = 128,
+    num_restarts: int = 4,
+    raw_samples: int = 64,
+    key=None,
+    seed: int = 0,
+    fixed_features: dict | None = None,
+    maxiter: int = 50,
+):
+    """Optimize a (possibly MC) objective of the model's posterior over the
+    box (reference `input_constructors.py:1529` `optimize_objective`):
+    qSimpleRegret on the objective, maximized with `optimize_acqf`;
+    used by KG-style constructors to find `current_value`."""
+    import jax as _jax
+
+    from botorch_tpu.acquisition.monte_carlo import make_mc_acqf, qSimpleRegret
+    from botorch_tpu.acquisition.wrappers import FixedFeatureAcquisitionFunction
+    from botorch_tpu.optim.optimize import optimize_acqf
+
+    if key is None:
+        key = _jax.random.PRNGKey(seed)
+    kwargs = {} if objective is None else {"objective": objective}
+    acqf = make_mc_acqf(
+        qSimpleRegret, model, q=q, num_samples=mc_samples, **kwargs
+    )
+    if fixed_features:
+        cols = sorted(fixed_features)
+        vals = jnp.asarray([fixed_features[c] for c in cols])
+        d = bounds.shape[-1]
+        free = [i for i in range(d) if i not in fixed_features]
+        acqf = FixedFeatureAcquisitionFunction(
+            acqf=acqf, d=d, fixed_indices=tuple(cols), fixed_values=vals
+        )
+        bounds = bounds[:, jnp.asarray(free)]
+        cand, val = optimize_acqf(
+            acqf, bounds, q=q, num_restarts=num_restarts,
+            raw_samples=raw_samples, key=key, seed=seed, maxiter=maxiter,
+        )
+        # return FULL-dimensional candidates (reference `construct_X_full`)
+        return acqf._expand(cand), val
+    return optimize_acqf(
+        acqf, bounds, q=q, num_restarts=num_restarts,
+        raw_samples=raw_samples, key=key, seed=seed, maxiter=maxiter,
+    )

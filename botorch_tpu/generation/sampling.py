@@ -18,6 +18,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from botorch_tpu.models.gp import SingleTaskGP
 from botorch_tpu.sampling.pathwise import draw_matheron_paths
@@ -101,3 +102,31 @@ def boltzmann_sampling(
         g = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape, minval=1e-20)))
         _, idx = jax.lax.top_k(logits + g, num_samples)
     return X_cand[idx]
+
+
+class PathwiseThompsonSampling(struct.PyTreeNode):
+    """Thompson sampling packaged as an acquisition function (reference
+    `acquisition/thompson_sampling.py:22` `PathwiseThompsonSampling`):
+    `__call__(X (q, d))` returns the q-sum of a FIXED pathwise posterior
+    draw, so maximizing it with `optimize_acqf` yields a Thompson sample.
+    Build with `make_pathwise_thompson_sampling`."""
+
+    paths: object  # MatheronPath (num_paths = 1)
+
+    def __call__(self, X: Array) -> Array:
+        X = jnp.atleast_2d(X)
+        return jnp.sum(self.paths(X)[0])
+
+
+def make_pathwise_thompson_sampling(
+    model: SingleTaskGP, key: Array, num_features: int = 1024
+) -> PathwiseThompsonSampling:
+    """Draw one Matheron path and wrap it as an acqf."""
+    if getattr(model, "_is_fully_bayesian", False):
+        raise NotImplementedError(
+            "PathwiseThompsonSampling is not supported for fully Bayesian "
+            "models (as in the reference)"
+        )
+    paths = draw_matheron_paths(model, key, num_paths=1,
+                                num_features=num_features)
+    return PathwiseThompsonSampling(paths=paths)

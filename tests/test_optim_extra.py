@@ -257,3 +257,82 @@ def test_gen_candidates_adam_deterministic_and_stochastic():
     acqf2 = lambda X: jnp.sum(X)
     c3, _ = gen_candidates_adam(acqf2, ics, ub, maxiter=50)
     assert float(c3.max()) <= 1.0 + 1e-6
+
+
+def test_pathwise_thompson_sampling_acqf():
+    import numpy as _np
+
+    from botorch_tpu.fit import fit_gp
+    from botorch_tpu.generation.sampling import make_pathwise_thompson_sampling
+    from botorch_tpu.models.gp import make_gp
+    from botorch_tpu.optim.optimize import optimize_acqf
+
+    rng = _np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.asarray(
+        _np.sin(5 * _np.asarray(X[:, 0])) + _np.asarray(X[:, 1]), jnp.float32
+    )[:, None]
+    model = fit_gp(make_gp(X, Y), num_restarts=2, maxiter=30)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    ts = make_pathwise_thompson_sampling(model, jax.random.PRNGKey(1))
+    # deterministic: same path, same value
+    Xc = jnp.asarray([[0.3, 0.7]])
+    assert float(ts(Xc)) == float(ts(Xc))
+    cand, val = optimize_acqf(
+        ts, bounds, q=1, num_restarts=4, raw_samples=32,
+        key=jax.random.PRNGKey(2), seed=3,
+    )
+    # the TS maximizer value should beat random probes of the same path
+    probes = jax.vmap(lambda x: ts(x[None]))(
+        jax.random.uniform(jax.random.PRNGKey(4), (64, 2))
+    )
+    assert float(val) >= float(probes.max()) - 1e-4
+    # fully-Bayesian models are rejected, as in the reference
+    fb = model.replace(_is_fully_bayesian=True)
+    try:
+        make_pathwise_thompson_sampling(fb, jax.random.PRNGKey(0))
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_optimize_objective_and_feasibility_helpers():
+    import numpy as _np
+
+    from botorch_tpu.acquisition.active_learning import (
+        get_feasible_samples,
+        get_outcome_feasibility_probability,
+    )
+    from botorch_tpu.acquisition.input_constructors import optimize_objective
+    from botorch_tpu.fit import fit_gp
+    from botorch_tpu.models.gp import make_gp
+
+    rng = _np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.asarray(
+        _np.sin(5 * _np.asarray(X[:, 0])) + _np.asarray(X[:, 1]), jnp.float32
+    )[:, None]
+    model = fit_gp(make_gp(X, Y), num_restarts=2, maxiter=30)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    cand, val = optimize_objective(model, bounds, q=1, seed=4)
+    assert cand.shape == (1, 2) and jnp.isfinite(val)
+    # fixed features come back expanded to full dimension at the pin
+    cand_ff, _ = optimize_objective(
+        model, bounds, q=1, seed=4, fixed_features={1: 0.25}
+    )
+    assert cand_ff.shape == (1, 2)
+    _np.testing.assert_allclose(float(cand_ff[0, 1]), 0.25, atol=1e-6)
+
+    samples = jnp.asarray(rng.uniform(size=(200, 2)), jnp.float32)
+    kept, frac = get_feasible_samples(samples, [((0, 1), (1.0, 1.0), 1.0)])
+    # x0 + x1 >= 1 holds for about half the unit square
+    assert 0.3 < frac < 0.7
+    assert bool(jnp.all(kept.sum(-1) >= 1.0))
+    p_all = get_outcome_feasibility_probability(
+        model, X[:3], (lambda y: y[..., 0] - 100.0,), jax.random.PRNGKey(5)
+    )
+    assert p_all == 1.0
+    p_none = get_outcome_feasibility_probability(
+        model, X[:3], (lambda y: 100.0 - y[..., 0],), jax.random.PRNGKey(5)
+    )
+    assert p_none == 0.0
