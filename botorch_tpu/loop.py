@@ -76,14 +76,7 @@ def append_observations(state: BOState, X_new: Array, Y_new: Array) -> BOState:
     return state.replace(X=X, Y=Y, n=state.n + q)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "acqf_name", "q", "num_restarts", "raw_samples", "fit_restarts",
-        "fit_maxiter", "acq_maxiter", "kernel", "mc_samples", "shard_fn",
-    ),
-)
-def bo_step(
+def _bo_step(
     state: BOState,
     key: Array,
     sobol: tuple[Array, Array],
@@ -97,19 +90,27 @@ def bo_step(
     kernel: str = "rbf",
     mc_samples: int = 128,
     shard_fn=None,
-) -> tuple[Array, Array]:
+    params0=None,
+):
     """One BO iteration on the padded state: MAP-fit the GP on the masked
     history, build the acquisition, and maximize it in the unit cube.
 
-    Returns `(candidates (q, d), acq_value)`. Shapes are independent of
-    `state.n`, so this compiles once per configuration.
+    Returns `(candidates (q, d), acq_value, fitted GPParams)`. Shapes are
+    independent of `state.n`, so this compiles once per configuration.
+    `params0` warm-starts restart lane 0 of the fit (the previous
+    iteration's MAP estimate inside `run_bo_loop` — the data changed by
+    only q points, so it is an excellent start and lets the compiled loop
+    run a much smaller fit budget at identical regret).
     """
     capacity, d = state.X.shape
     mask = jnp.arange(capacity) < state.n
     k_fit, k_acq = jax.random.split(key)
 
+    model = make_gp(state.X, state.Y[:, None], mask=mask, kernel=kernel)
+    if params0 is not None:
+        model = model.replace(params=params0)
     model = fit_gp(
-        make_gp(state.X, state.Y[:, None], mask=mask, kernel=kernel),
+        model,
         k_fit,
         num_restarts=fit_restarts,
         maxiter=fit_maxiter,
@@ -143,6 +144,40 @@ def bo_step(
         maxiter=acq_maxiter,
         sobol=sobol,
         sobol_skip=skip,
+        shard_fn=shard_fn,
+    )
+    return cand, val, model.params
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "acqf_name", "q", "num_restarts", "raw_samples", "fit_restarts",
+        "fit_maxiter", "acq_maxiter", "kernel", "mc_samples", "shard_fn",
+    ),
+)
+def bo_step(
+    state: BOState,
+    key: Array,
+    sobol: tuple[Array, Array],
+    acqf_name: str = "LogEI",
+    q: int = 1,
+    num_restarts: int = 8,
+    raw_samples: int = 64,
+    fit_restarts: int = 4,
+    fit_maxiter: int = 60,
+    acq_maxiter: int = 60,
+    kernel: str = "rbf",
+    mc_samples: int = 128,
+    shard_fn=None,
+) -> tuple[Array, Array]:
+    """Public single-step entry point (see `_bo_step`); returns
+    `(candidates (q, d), acq_value)`."""
+    cand, val, _ = _bo_step(
+        state, key, sobol, acqf_name=acqf_name, q=q,
+        num_restarts=num_restarts, raw_samples=raw_samples,
+        fit_restarts=fit_restarts, fit_maxiter=fit_maxiter,
+        acq_maxiter=acq_maxiter, kernel=kernel, mc_samples=mc_samples,
         shard_fn=shard_fn,
     )
     return cand, val
@@ -180,15 +215,23 @@ def run_bo_loop(
         def run(key):
             state, X0 = init_state(n_init, d, capacity, seed=seed)
             state = append_observations(state, X0, objective(X0))
+            kernel = step_kwargs.get("kernel", "rbf")
+            params = make_gp(
+                state.X, state.Y[:, None], kernel=kernel
+            ).params
 
             def body(it, carry):
-                state, key = carry
+                state, key, params = carry
                 key, sub = jax.random.split(key)
-                cand, _ = bo_step(state, sub, sobol, q=q, **step_kwargs)
+                cand, _, params = _bo_step(
+                    state, sub, sobol, q=q, params0=params, **step_kwargs
+                )
                 state = append_observations(state, cand, objective(cand))
-                return state, key
+                return state, key, params
 
-            state, _ = jax.lax.fori_loop(0, iterations, body, (state, key))
+            state, _, _ = jax.lax.fori_loop(
+                0, iterations, body, (state, key, params)
+            )
             return state
 
         _RUN_CACHE[cache_key] = run
