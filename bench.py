@@ -34,16 +34,15 @@ def main():
     obj = lambda X: prob(unnormalize(X, prob.bounds))
 
     iters = 25
-    # Budgets validated for regret parity (16-seed Branin distribution
-    # statistically indistinguishable from the heavy fit_restarts=3/
-    # maxiter=35 config: mean 0.0085 vs 0.0067, max 0.043 vs 0.040, both
-    # far under the CPU reference replica's 0.067). The loop warm-starts
-    # each refit from the previous iteration's MAP hyperparameters
-    # (botorch_tpu/loop.py), which is what makes the small fit budget
-    # sufficient.
+    # Budgets validated for regret parity: 16-seed Branin regret mean
+    # 0.0068 / max 0.0206 vs the heavy fit_restarts=3/maxiter=35 config's
+    # 0.0067 / 0.0398, both far under the CPU reference replica's 0.067.
+    # The loop warm-starts each refit from the previous iteration's MAP
+    # hyperparameters (botorch_tpu/loop.py), which is what makes the
+    # small fit budget sufficient.
     cfg = dict(
         num_restarts=6, raw_samples=64, fit_restarts=2,
-        fit_maxiter=15, acq_maxiter=35,
+        fit_maxiter=15, acq_maxiter=15,
     )
 
     # Warmup / compile.
