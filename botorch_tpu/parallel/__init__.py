@@ -1,0 +1,19 @@
+"""Mesh/sharding re-exports (TPU-native; no reference counterpart — SURVEY §2.10)."""
+
+from botorch_tpu.parallel.distributed_chol import (
+    distributed_cholesky,
+    distributed_gp_solve,
+)
+from botorch_tpu.parallel.sharding import (
+    leading_axis_sharder,
+    make_mesh,
+    replicated,
+)
+
+__all__ = [
+    "distributed_cholesky",
+    "distributed_gp_solve",
+    "leading_axis_sharder",
+    "make_mesh",
+    "replicated",
+]
