@@ -85,10 +85,11 @@ def sample_params_from_priors(
     without priors (the mean; fixed noise) stay at their current values."""
     p = model.params
     k_ls, k_noise, k_os = jax.random.split(key, 3)
-    ls_prior = priors_mod.dim_scaled_lognormal_lengthscale_prior(model.dim)
+    regime = getattr(model, "priors", "lognormal")
+    ls_prior = priors_mod.lengthscale_prior(regime, model.dim)
     ls = ls_prior.sample(k_ls, (n, *p.raw_lengthscale.shape))
     if model.infer_noise:
-        noise = priors_mod.lognormal_noise_prior().sample(
+        noise = priors_mod.noise_prior(regime).sample(
             k_noise, (n, *p.raw_noise.shape)
         )
         raw_noise = jnp.log(noise)

@@ -94,6 +94,10 @@ class SingleTaskGP(struct.PyTreeNode):
     mask: Optional[Array] = None  # (n,) validity mask for padded train data
     kernel: str = struct.field(pytree_node=False, default="rbf")
     use_outputscale: bool = struct.field(pytree_node=False, default=False)
+    # prior regime: "lognormal" (modern default, [Hvarfner2024vanilla]) or
+    # "gamma" (the reference's legacy `get_matern_kernel_with_gamma_prior` /
+    # `get_gaussian_likelihood_with_gamma_prior` regime)
+    priors: str = struct.field(pytree_node=False, default="lognormal")
     # marks NUTS-fitted ensembles (reference `utils/transforms.py:196`
     # `is_fully_bayesian`); fantasy batches leave this False
     _is_fully_bayesian: bool = struct.field(pytree_node=False, default=False)
@@ -218,10 +222,12 @@ class SingleTaskGP(struct.PyTreeNode):
         """Log prior density over hyperparameters (no Jacobian — see
         `models/priors.py` docstring)."""
         params = self.params if params is None else params
-        ls_prior = priors_mod.dim_scaled_lognormal_lengthscale_prior(self.dim)
+        ls_prior = priors_mod.lengthscale_prior(self.priors, self.dim)
         lp = jnp.sum(ls_prior.log_prob(params.lengthscale), axis=(-1, -2))
         if self.infer_noise:
-            lp = lp + jnp.sum(priors_mod.lognormal_noise_prior().log_prob(params.noise), -1)
+            lp = lp + jnp.sum(
+                priors_mod.noise_prior(self.priors).log_prob(params.noise), -1
+            )
         if self.use_outputscale:
             lp = lp + jnp.sum(priors_mod.Gamma(2.0, 0.15).log_prob(params.outputscale), -1)
         if params.raw_kernel_weights is not None:
@@ -336,7 +342,11 @@ def _maybe_warn_input_scaling(train_X, mask) -> None:
 
 
 def default_init_params(
-    d: int, m: int = 1, use_outputscale: bool = False, kernel: str = "rbf"
+    d: int,
+    m: int = 1,
+    use_outputscale: bool = False,
+    kernel: str = "rbf",
+    priors: str = "lognormal",
 ) -> GPParams:
     """Initial hyperparameters at the prior modes (reference
     `gpytorch_modules.py:117-126` uses `initial_value=prior.mode`).
@@ -344,13 +354,18 @@ def default_init_params(
     values reproducing their unweighted form."""
     from botorch_tpu.ops.kernels import kernel_default_raw_weights
 
-    ls_prior = priors_mod.dim_scaled_lognormal_lengthscale_prior(d)
-    noise_prior = priors_mod.lognormal_noise_prior()
+    ls_prior = priors_mod.lengthscale_prior(priors, d)
+    noise_prior = priors_mod.noise_prior(priors)
     w0 = kernel_default_raw_weights(kernel, d)
     return GPParams(
         mean=jnp.zeros((m,)),
         raw_lengthscale=jnp.full((m, d), math.log(ls_prior.mode)),
-        raw_outputscale=jnp.zeros((m,)),
+        raw_outputscale=jnp.full(
+            (m,),
+            math.log(priors_mod.gamma_outputscale_prior().mode)
+            if (use_outputscale and priors == "gamma")
+            else 0.0,
+        ),
         raw_noise=jnp.full((m,), math.log(noise_prior.mode)),
         raw_kernel_weights=(
             None if w0 is None else jnp.broadcast_to(w0[:, None], (w0.shape[0], m))
@@ -367,6 +382,7 @@ def make_gp(
     standardize: bool = True,
     params: Optional[GPParams] = None,
     mask: Optional[Array] = None,
+    priors: str = "lognormal",
 ) -> SingleTaskGP:
     """Construct a `SingleTaskGP` with a baked-in Standardize outcome
     transform (`gp_regression.py:166-169`).
@@ -400,7 +416,9 @@ def make_gp(
         train_Yvar = train_Yvar[:, None]
     Yvar_std = None if train_Yvar is None else train_Yvar / jnp.square(scale)
     if params is None:
-        params = default_init_params(d, m, use_outputscale, kernel=kernel)
+        params = default_init_params(
+            d, m, use_outputscale, kernel=kernel, priors=priors
+        )
     return SingleTaskGP(
         X=train_X,
         Y=Y_std,
@@ -411,4 +429,5 @@ def make_gp(
         mask=mask,
         kernel=kernel,
         use_outputscale=use_outputscale,
+        priors=priors,
     )

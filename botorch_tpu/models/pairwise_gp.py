@@ -161,7 +161,19 @@ class PairwiseGP(struct.PyTreeNode):
 def make_pairwise_gp(
     X: Array, comparisons: Array, kernel: str = "rbf",
     likelihood: str = "probit",
+    consolidate_rtol: float = 0.0,
+    consolidate_atol: float = 1e-4,
 ) -> PairwiseGP:
+    # Consolidate (near-)duplicate datapoints so repeated comparisons of the
+    # same design don't degenerate the Laplace Hessian (reference
+    # `pairwise_gp.py:174-198` + `models/utils/assorted.py:334`). Skipped
+    # for traced inputs (host-side preprocessing only).
+    if consolidate_atol > 0 and not isinstance(X, jax.core.Tracer):
+        from botorch_tpu.utils.transforms import consolidate_duplicates
+
+        X, comparisons, _ = consolidate_duplicates(
+            X, comparisons, rtol=consolidate_rtol, atol=consolidate_atol
+        )
     d = X.shape[-1]
     ls0 = priors_mod.dim_scaled_lognormal_lengthscale_prior(d).mode
     model = PairwiseGP(

@@ -109,3 +109,70 @@ def lognormal_noise_prior() -> LogNormal:
 # Constraint floors (reference `gpytorch_modules.py:29,117-126`).
 MIN_INFERRED_NOISE_LEVEL = 1e-4
 MIN_LENGTHSCALE = 2.5e-2
+
+
+# --------------------------------------------------------------------------- #
+# Legacy gamma prior regime + reference-named factory helpers
+# (reference `models/utils/gpytorch_modules.py:34-97`). The reference offers
+# two prior regimes for SingleTaskGP-style models; `make_gp(priors=...)`
+# selects between them here.
+
+def gamma_lengthscale_prior() -> Gamma:
+    """Legacy Matern lengthscale prior Gamma(3.0, 6.0)
+    (reference `gpytorch_modules.py:34-50`)."""
+    return Gamma(3.0, 6.0)
+
+
+def gamma_noise_prior() -> Gamma:
+    """Legacy likelihood noise prior Gamma(1.1, 0.05)
+    (reference `gpytorch_modules.py:53-71`)."""
+    return Gamma(1.1, 0.05)
+
+
+def gamma_outputscale_prior() -> Gamma:
+    """ScaleKernel outputscale prior Gamma(2.0, 0.15)
+    (reference `gpytorch_modules.py:34-50`)."""
+    return Gamma(2.0, 0.15)
+
+
+def lengthscale_prior(priors: str, d: int):
+    """The lengthscale prior for a named regime (`"lognormal"`/`"gamma"`)."""
+    if priors == "gamma":
+        return gamma_lengthscale_prior()
+    return dim_scaled_lognormal_lengthscale_prior(d)
+
+
+def noise_prior(priors: str):
+    """The inferred-noise prior for a named regime."""
+    if priors == "gamma":
+        return gamma_noise_prior()
+    return lognormal_noise_prior()
+
+
+def get_covar_module_with_dim_scaled_prior(ard_num_dims: int, use_outputscale: bool = False):
+    """Kernel spec for the modern default: RBF with the [Hvarfner2024vanilla]
+    dim-scaled LogNormal lengthscale prior (reference
+    `gpytorch_modules.py:100-127`). Returns `(kernel, use_outputscale,
+    priors)` — pass as `make_gp(..., kernel=k, use_outputscale=u, priors=p)`.
+    """
+    return ("rbf", use_outputscale, "lognormal")
+
+
+def get_matern_kernel_with_gamma_prior(ard_num_dims: int):
+    """Kernel spec for the legacy default: scaled Matern-5/2 with
+    Gamma(3, 6) lengthscale and Gamma(2, 0.15) outputscale priors
+    (reference `gpytorch_modules.py:34-50`)."""
+    return ("matern52", True, "gamma")
+
+
+def get_gaussian_likelihood_with_gamma_prior():
+    """Likelihood spec: inferred noise with the legacy Gamma(1.1, 0.05)
+    prior (reference `gpytorch_modules.py:53-71`). Pass as
+    `make_gp(..., priors=...)` (regime string)."""
+    return "gamma"
+
+
+def get_gaussian_likelihood_with_lognormal_prior():
+    """Likelihood spec: inferred noise with the LogNormal(-4, 1) prior
+    (reference `gpytorch_modules.py:74-97`)."""
+    return "lognormal"

@@ -106,3 +106,11 @@ def update_chol(L: Array, B: Array, C: Array) -> Array:
     )
     bot = jnp.concatenate([jnp.swapaxes(L12, -1, -2), L22], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def augment_cholesky(Lf: Array, Knn: Array, Kfn: Array) -> Array:
+    """Reference-named wrapper of `update_chol` (reference
+    `utils/probability/linalg.py:34` `augment_cholesky(Laa, Kbb, Kba)`):
+    extend `Lf = chol(K_ff)` to the factor of
+    `[[K_ff, K_fn^T], [K_fn, K_nn]]`."""
+    return update_chol(Lf, jnp.swapaxes(Kfn, -1, -2), Knn)

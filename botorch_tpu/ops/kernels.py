@@ -220,6 +220,13 @@ def infinite_width_bnn(x: Array, z: Array, lengthscale: Array, depth: int = 3) -
     return Kxz
 
 
+def matern52_kernel(X: Array, lengthscale: Array) -> Array:
+    """Matern-5/2 Gram matrix of `X` with itself — the reference's
+    standalone helper used by the SAAS pyro model
+    (`models/fully_bayesian.py:81-91`)."""
+    return matern52(X, X, lengthscale)
+
+
 KERNELS = {
     "rbf": rbf,
     "matern52": matern52,

@@ -359,6 +359,88 @@ def gen_one_shot_kg_initial_conditions(
     return jnp.concatenate([ics[:, :q, :], fant], axis=-2)
 
 
+def gen_value_function_initial_conditions(
+    value_function,
+    bounds: Array,
+    num_restarts: int,
+    raw_samples: int,
+    current_model,
+    key: Optional[Array] = None,
+    frac_random: float = 0.6,
+    num_inner_restarts: int = 20,
+    raw_inner_samples: int = 1024,
+    eta: float = 2.0,
+    seed: int = 0,
+) -> Array:
+    """Smart initializations for optimizing a KG value function (reference
+    `optim/initializers.py:758-893`).
+
+    The maximizer of a fantasized posterior is usually near a maximizer of
+    the CURRENT posterior, so a fraction `1 - frac_random` of the raw
+    samples is drawn (softmax over values, temperature `eta`) from the
+    restart-optimized maximizers of `current_model`'s posterior mean; the
+    rest are Sobol. All raw samples are scored per fantasy branch by
+    `value_function` and each branch picks its own `num_restarts` ICs via
+    the Boltzmann heuristic.
+
+    Args:
+        value_function: callable `(*batch_shape, 1, d) -> (*batch_shape,)`
+            evaluating each fantasy branch at its own point (a posterior
+            mean of a fantasy-batched model broadcasts this way).
+        current_model: the model the fantasies were generated from.
+
+    Returns:
+        `(num_restarts, *batch_shape, 1, d)` initial conditions.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    k_inner, k_mult, k_sel = jax.random.split(key, 3)
+    d = bounds.shape[-1]
+
+    def post_mean(Xq):
+        return current_model.posterior(Xq).mean[..., 0, 0]
+
+    cands, vals = optimize_acqf(
+        post_mean,
+        bounds,
+        q=1,
+        num_restarts=num_inner_restarts,
+        raw_samples=raw_inner_samples,
+        key=k_inner,
+        seed=seed + 1,
+        return_full=True,
+    )  # (ni, 1, d), (ni,)
+
+    # fantasy batch shape, probed once (static under jit)
+    batch_shape = tuple(value_function(cands[0]).shape)
+    nf = 1
+    for s in batch_shape:
+        nf *= s
+
+    n_value = int((1 - frac_random) * raw_samples)
+    std = jnp.std(vals)
+    z = (vals - jnp.mean(vals)) / jnp.where(std > 0, std, 1.0)
+    w = jnp.exp(eta * z)
+    idx = jax.random.choice(
+        k_mult, cands.shape[0], (n_value, nf), replace=True, p=w / jnp.sum(w)
+    )
+    resampled = cands[idx]  # (n_value, nf, 1, d)
+    n_rand = raw_samples - n_value
+    randomized = draw_sobol_samples(bounds, n_rand * nf, 1, seed=seed + 2)
+    randomized = randomized.reshape(n_rand, nf, 1, d)
+    X_rnd = jnp.concatenate([resampled, randomized], axis=0)  # (raw, nf, 1, d)
+
+    Y_rnd = jax.lax.map(
+        value_function, X_rnd.reshape(raw_samples, *batch_shape, 1, d)
+    ).reshape(raw_samples, nf)
+
+    keys = jax.random.split(k_sel, nf)
+    ics = jax.vmap(
+        lambda kk, X, Y: initialize_q_batch(kk, X, Y, num_restarts, eta=eta)
+    )(keys, jnp.swapaxes(X_rnd, 0, 1), Y_rnd.T)  # (nf, num_restarts, 1, d)
+    return jnp.swapaxes(ics, 0, 1).reshape(num_restarts, *batch_shape, 1, d)
+
+
 def initialize_q_batch_nonneg(
     key: Array,
     X: Array,

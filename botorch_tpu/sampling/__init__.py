@@ -10,6 +10,7 @@ from botorch_tpu.sampling.nuts import (
 from botorch_tpu.sampling.pathwise import (
     MatheronPath,
     draw_matheron_paths,
+    get_gp_samples,
     get_matheron_path_model,
 )
 from botorch_tpu.sampling.qmc import (
@@ -47,6 +48,7 @@ __all__ = [
     "da_init",
     "da_update",
     "draw_matheron_paths",
+    "get_gp_samples",
     "draw_sobol",
     "draw_sobol_bits",
     "draw_sobol_normal_samples",

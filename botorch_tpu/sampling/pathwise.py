@@ -135,3 +135,23 @@ def get_matheron_path_model(model: SingleTaskGP, key: Array, num_features: int =
         return path(x)[0]
 
     return fn
+
+
+def get_gp_samples(
+    model: SingleTaskGP, key: Array, num_outputs: int = 1, n_samples: int = 1,
+    num_rff_features: int = 512,
+):
+    """Deprecated reference name (`utils/gp_sampling.py:416`
+    `get_gp_samples`, superseded upstream by pathwise sampling —
+    `CHANGELOG.md:24`): returns a callable evaluating `n_samples` frozen
+    posterior sample paths, `(..., d) -> (n_samples, ..., 1)`."""
+    if num_outputs != 1:
+        raise ValueError("pathwise sampling supports single-output models")
+    path = draw_matheron_paths(
+        model, key, num_paths=n_samples, num_features=num_rff_features
+    )
+
+    def fn(x: Array) -> Array:
+        return path(x)[..., None]
+
+    return fn

@@ -83,3 +83,60 @@ def standardize_moments(mean, variance):
     mu = _jnp.mean(mean, axis=-2, keepdims=True)
     sd = _jnp.std(mean, axis=-2, keepdims=True)
     return (mean - mu) / sd, variance / _jnp.square(sd)
+
+
+def detect_duplicates(X, rtol: float = 0.0, atol: float = 1e-8):
+    """Iterator of `(duplicate index, original index)` pairs over the rows
+    of a 2-d `X` (reference `models/utils/assorted.py:300`). Host-side
+    (numpy) data preparation, used before building comparison models."""
+    import numpy as np
+
+    Xn = np.asarray(X)
+    if Xn.ndim != 2:
+        raise ValueError("X must have 2 dimensions.")
+    n = Xn.shape[0]
+    dist = np.max(np.abs(Xn[:, None, :] - Xn[None, :, :]), axis=-1)
+    tols = atol
+    if rtol:
+        rval = np.max(np.abs(Xn), axis=-1, keepdims=True)
+        tols = tols + rtol * np.maximum(rval, rval.T)
+    dist = np.where(np.tri(n, k=0, dtype=bool), np.inf, dist)  # upper only
+    for i in range(n):
+        col = dist[:, i]
+        j = int(np.argmin(col))
+        if col[j] - (tols if np.isscalar(tols) else tols[j, i]) < 0:
+            yield (i, j)
+
+
+def consolidate_duplicates(X, Y, rtol: float = 0.0, atol: float = 1e-8):
+    """Drop duplicated rows of `X` and remap the index tensor `Y`
+    (e.g. pairwise comparisons) accordingly (reference
+    `models/utils/assorted.py:334`). Returns `(X, Y, new_indices)` as
+    jnp arrays; `new_indices[i]` is row `i`'s index after consolidation."""
+    import numpy as np
+
+    Xn = np.asarray(X)
+    Yn = np.asarray(Y)
+    n = Xn.shape[0]
+    dup_map = dict(detect_duplicates(Xn, rtol=rtol, atol=atol))
+    common = set(dup_map.keys()).intersection(dup_map.values())
+    for k in list(dup_map):
+        if k in common or dup_map[k] in common:
+            del dup_map[k]
+    if not dup_map:
+        return (
+            jnp.asarray(Xn),
+            jnp.asarray(Yn),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+    dup_indices = set(dup_map.keys())
+    unique_indices = sorted(set(range(n)) - dup_indices)
+    new_idx = {old: new for new, old in enumerate(unique_indices)}
+    for old, kept in dup_map.items():
+        new_idx[old] = new_idx[kept]
+    remap = np.array([new_idx[i] for i in range(n)], dtype=np.int32)
+    return (
+        jnp.asarray(Xn[unique_indices]),
+        jnp.asarray(remap[Yn]),
+        jnp.asarray(remap),
+    )

@@ -110,3 +110,34 @@ def test_exception_aliases():
     assert issubclass(E.DeprecationError, E.BotorchTPUError)
     assert issubclass(E.UserInputWarning, E.BotorchTPUWarning)
     assert issubclass(E.CostAwareWarning, E.BotorchTPUWarning)
+
+
+def test_augment_cholesky_matches_dense():
+    import numpy as np
+    import jax.numpy as jnp
+    from botorch_tpu.ops.chol import augment_cholesky, psd_safe_cholesky
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(8, 8)).astype(np.float32)
+    K = A @ A.T + 8 * np.eye(8, dtype=np.float32)
+    Laa = psd_safe_cholesky(jnp.asarray(K[:5, :5]))
+    L = augment_cholesky(Laa, jnp.asarray(K[5:, 5:]), jnp.asarray(K[5:, :5]))
+    ref = np.linalg.cholesky(K)
+    assert np.abs(np.asarray(L) - ref).max() / np.abs(ref).max() < 1e-3
+
+
+def test_get_gp_samples_deprecated_alias():
+    import jax
+    import jax.numpy as jnp
+    from botorch_tpu.models.gp import make_gp
+    from botorch_tpu.sampling import get_gp_samples
+
+    X = jax.random.uniform(jax.random.PRNGKey(0), (10, 2))
+    m = make_gp(X, jnp.sin(3 * X[:, :1]))
+    f = get_gp_samples(m, jax.random.PRNGKey(1), n_samples=3)
+    out = f(X[:4])
+    assert out.shape == (3, 4, 1)
+    # frozen path: deterministic across calls
+    import numpy as np
+
+    assert np.allclose(np.asarray(f(X[:4])), np.asarray(out))
