@@ -96,6 +96,36 @@ def main():
     transitions = chains * (warmup + max(samples // chains, 8))
     nuts_per_s = transitions / nuts_time
 
+    # Config-4: qLogNEHVI multi-objective closed loop on BraninCurrin
+    # (fully-compiled MO loop, m=2 in-graph staircase cells; reference
+    # runs this host-driven through scipy per iteration).
+    from botorch_tpu.mo_loop import observed_hypervolume, run_mo_bo_loop
+    from botorch_tpu.test_functions.multi_objective import BraninCurrin
+
+    mo_prob = BraninCurrin(negate=True)
+    mo_iters = 20
+    mo_cfg = dict(
+        num_restarts=4, raw_samples=32, fit_restarts=2,
+        fit_maxiter=15, acq_maxiter=15, mc_samples=32,
+    )
+    mo_state = run_mo_bo_loop(
+        mo_prob, d=2, m=2, ref_point=mo_prob.ref_point, n_init=10,
+        iterations=mo_iters, key=jax.random.PRNGKey(0), **mo_cfg,
+    )
+    jax.block_until_ready(mo_state.Y)  # compile warmup
+    mo_times, mo_hvs = [], []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        mo_state = run_mo_bo_loop(
+            mo_prob, d=2, m=2, ref_point=mo_prob.ref_point, n_init=10,
+            iterations=mo_iters, key=jax.random.PRNGKey(rep + 1), **mo_cfg,
+        )
+        jax.block_until_ready(mo_state.Y)
+        mo_times.append(time.perf_counter() - t0)
+        mo_hvs.append(observed_hypervolume(mo_state, mo_prob.ref_point))
+    mo_iters_per_s = mo_iters / min(mo_times)
+    mo_hv_frac = (sum(mo_hvs) / len(mo_hvs)) / mo_prob.max_hv
+
     # Config-5: TuRBO-style Thompson candidate throughput at n=2048.
     from botorch_tpu.models.gp import make_gp
     from botorch_tpu.optim.turbo import generate_turbo_candidates, turbo_init
@@ -126,6 +156,8 @@ def main():
         "final_regret_mean": round(sum(regrets) / len(regrets), 5),
         "nuts_transitions_per_s": round(nuts_per_s, 2),
         "nuts_vs_baseline": round(nuts_per_s / 8.0, 2),
+        "qnehvi_mo_iters_per_s": round(mo_iters_per_s, 3),
+        "qnehvi_hv_frac_of_max": round(mo_hv_frac, 4),
         "turbo_candidates_per_s_n2048": round(cand_per_s, 1),
         "device": str(jax.devices()[0]),
     }))

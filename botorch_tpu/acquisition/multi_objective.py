@@ -156,6 +156,11 @@ class qNoisyExpectedHypervolumeImprovement(MCAcquisitionFunction):
     signs: Array = None
     cell_lower: Optional[Array] = None  # (nmc, C, m) for m >= 3
     cell_upper: Optional[Array] = None
+    # (nb,) bool — padded-baseline support for the compiled MO BO loop
+    # (same contract as qLogNEI's baseline_mask): masked-out baseline rows
+    # are moved strictly below the reference point so they contribute no
+    # cells to the per-sample front decompositions.
+    baseline_mask: Optional[Array] = None
     smooth_tau: float = struct.field(pytree_node=False, default=0.0)
     _log: bool = struct.field(pytree_node=False, default=False)
 
@@ -167,6 +172,12 @@ class qNoisyExpectedHypervolumeImprovement(MCAcquisitionFunction):
 
     def _hvi(self, X: Array) -> Array:
         base_samples, cand_samples = self._joint_samples(X)
+        if self.baseline_mask is not None:
+            base_samples = jnp.where(
+                self.baseline_mask[..., :, None],
+                base_samples,
+                self.ref_point - 1.0,
+            )
         if self.constraints:
             feas_b = smoothed_feasibility_log_indicator(
                 self.constraints, base_samples, self.eta, fat=self._fat

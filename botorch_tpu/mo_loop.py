@@ -1,0 +1,232 @@
+r"""Fully-compiled closed-loop MULTI-OBJECTIVE Bayesian optimization.
+
+Counterpart of the reference's qNEHVI tutorial loop (config 4 of
+BASELINE.json: "qNEHVI multi-objective BO"; reference
+`acquisition/multi_objective/monte_carlo.py:325` + host-driven loops).
+Same design as the single-objective `botorch_tpu/loop.py`: padded
+fixed-shape history buffers + validity mask, one `lax.fori_loop` per BO
+run, so the whole multi-objective campaign — every multi-output GP refit,
+every qLogNEHVI evaluation with per-sample in-graph staircase cell
+decompositions (m = 2), every acquisition L-BFGS — is ONE XLA program.
+
+The padded baseline flows into qLogNEHVI through its `baseline_mask`:
+masked-out rows are moved strictly below the reference point so they
+contribute no cells to the per-sample fronts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from botorch_tpu.acquisition.monte_carlo import _draw_base_samples
+from botorch_tpu.acquisition.multi_objective import (
+    _subset_masks,
+    qLogNoisyExpectedHypervolumeImprovement,
+)
+from botorch_tpu.fit import fit_gp
+from botorch_tpu.loop import init_state  # reuse Sobol init design
+from botorch_tpu.models.gp import make_gp
+from botorch_tpu.optim.optimize import optimize_acqf
+from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
+
+Array = jax.Array
+
+
+class MOBOState(struct.PyTreeNode):
+    """Padded multi-objective BO history in the unit cube."""
+
+    X: Array  # (N_max, d)
+    Y: Array  # (N_max, m) observations (original units)
+    n: Array  # () int32
+
+
+def init_mo_state(
+    n_init: int, d: int, m: int, capacity: int, seed: int = 0
+) -> tuple[MOBOState, Array]:
+    """Sobol initial design; same contract as `loop.init_state`."""
+    so_state, X0 = init_state(n_init, d, capacity, seed=seed)
+    state = MOBOState(
+        X=so_state.X, Y=jnp.zeros((capacity, m), jnp.float32), n=jnp.int32(0)
+    )
+    return state, X0
+
+
+def append_mo_observations(state: MOBOState, X_new: Array, Y_new: Array) -> MOBOState:
+    q = X_new.shape[0]
+    X = jax.lax.dynamic_update_slice(
+        state.X, X_new.astype(state.X.dtype), (state.n, 0)
+    )
+    Y = jax.lax.dynamic_update_slice(
+        state.Y, Y_new.astype(state.Y.dtype), (state.n, 0)
+    )
+    return state.replace(X=X, Y=Y, n=state.n + q)
+
+
+def _mo_bo_step(
+    state: MOBOState,
+    key: Array,
+    sobol: tuple[Array, Array],
+    ref_point: Array,
+    q: int = 1,
+    num_restarts: int = 8,
+    raw_samples: int = 64,
+    fit_restarts: int = 2,
+    fit_maxiter: int = 20,
+    acq_maxiter: int = 20,
+    kernel: str = "rbf",
+    mc_samples: int = 64,
+    shard_fn=None,
+    params0=None,
+):
+    """One MO BO iteration on the padded state: fit the multi-output GP on
+    the masked history, build qLogNEHVI over the padded baseline, maximize.
+    Shapes are independent of `state.n` — compiles once per config."""
+    capacity, d = state.X.shape
+    m = state.Y.shape[-1]
+    if m != 2:
+        raise ValueError(
+            "the compiled MO loop requires m == 2 (in-graph staircase "
+            "cells); m >= 3 needs host-side decompositions (make_qnehvi)"
+        )
+    mask = jnp.arange(capacity) < state.n
+    k_fit, k_acq = jax.random.split(key)
+
+    model = make_gp(state.X, state.Y, mask=mask, kernel=kernel)
+    if params0 is not None:
+        model = model.replace(params=params0)
+    model = fit_gp(
+        model, k_fit, num_restarts=fit_restarts, maxiter=fit_maxiter,
+        shard_fn=shard_fn,
+    )
+
+    masks, signs = _subset_masks(q)
+    base = _draw_base_samples(capacity + q, m, mc_samples, seed=23)
+    acqf = qLogNoisyExpectedHypervolumeImprovement(
+        model=model,
+        cache=model.train_chol(),
+        base_samples=base,
+        X_baseline=state.X,
+        ref_point=ref_point,
+        masks=masks,
+        signs=signs,
+        baseline_mask=mask,
+    )
+
+    unit_bounds = jnp.stack([jnp.zeros(d), jnp.ones(d)])
+    skip = (state.n.astype(jnp.uint32) + 1) * jnp.uint32(raw_samples)
+    cand, val = optimize_acqf(
+        acqf, unit_bounds, q=q,
+        num_restarts=num_restarts, raw_samples=raw_samples,
+        key=k_acq, maxiter=acq_maxiter, sobol=sobol, sobol_skip=skip,
+        shard_fn=shard_fn,
+    )
+    return cand, val, model.params
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "q", "num_restarts", "raw_samples", "fit_restarts", "fit_maxiter",
+        "acq_maxiter", "kernel", "mc_samples", "shard_fn",
+    ),
+)
+def mo_bo_step(
+    state: MOBOState,
+    key: Array,
+    sobol: tuple[Array, Array],
+    ref_point: Array,
+    q: int = 1,
+    num_restarts: int = 8,
+    raw_samples: int = 64,
+    fit_restarts: int = 2,
+    fit_maxiter: int = 20,
+    acq_maxiter: int = 20,
+    kernel: str = "rbf",
+    mc_samples: int = 64,
+    shard_fn=None,
+) -> tuple[Array, Array]:
+    """Public single-step entry point for external objectives."""
+    cand, val, _ = _mo_bo_step(
+        state, key, sobol, ref_point, q=q,
+        num_restarts=num_restarts, raw_samples=raw_samples,
+        fit_restarts=fit_restarts, fit_maxiter=fit_maxiter,
+        acq_maxiter=acq_maxiter, kernel=kernel, mc_samples=mc_samples,
+        shard_fn=shard_fn,
+    )
+    return cand, val
+
+
+_RUN_CACHE: dict = {}
+
+
+def run_mo_bo_loop(
+    objective: Callable[[Array], Array],
+    d: int,
+    m: int,
+    ref_point,
+    n_init: int,
+    iterations: int,
+    key: Array,
+    q: int = 1,
+    capacity: Optional[int] = None,
+    seed: int = 0,
+    **step_kwargs,
+) -> MOBOState:
+    """Fully-compiled MO BO run for a jittable `objective: (q, d) -> (q, m)`
+    (all objectives MAXIMIZED, unit-cube inputs). One `jit`, one
+    `lax.fori_loop` — the multi-objective analogue of `run_bo_loop`."""
+    capacity = capacity or (n_init + iterations * q)
+    ref_point = jnp.asarray(ref_point, jnp.float32)
+    cache_key = (
+        objective, d, m, n_init, iterations, q, capacity, seed,
+        tuple(sorted(step_kwargs.items())),
+    )
+    run = _RUN_CACHE.get(cache_key)
+    if run is None:
+        sv, shift = sobol_table(q * d, scramble=True, seed=seed)
+        sobol = (sv, shift)
+
+        @jax.jit
+        def run(key, ref_point):
+            state, X0 = init_mo_state(n_init, d, m, capacity, seed=seed)
+            state = append_mo_observations(state, X0, objective(X0))
+            kernel = step_kwargs.get("kernel", "rbf")
+            params = make_gp(state.X, state.Y, kernel=kernel).params
+
+            def body(it, carry):
+                state, key, params = carry
+                key, sub = jax.random.split(key)
+                cand, _, params = _mo_bo_step(
+                    state, sub, sobol, ref_point, q=q, params0=params,
+                    **step_kwargs,
+                )
+                state = append_mo_observations(state, cand, objective(cand))
+                return state, key, params
+
+            state, _, _ = jax.lax.fori_loop(
+                0, iterations, body, (state, key, params)
+            )
+            return state
+
+        _RUN_CACHE[cache_key] = run
+    return run(key, ref_point)
+
+
+def observed_hypervolume(state: MOBOState, ref_point) -> float:
+    """Hypervolume dominated by the observed front above `ref_point`
+    (host-side; use after the compiled run)."""
+    import numpy as np
+
+    from botorch_tpu.utils.multi_objective import hypervolume, is_non_dominated
+
+    n = int(state.n)
+    Y = np.asarray(state.Y)[:n]
+    ref = np.asarray(ref_point)
+    front = Y[np.asarray(is_non_dominated(jnp.asarray(Y)))]
+    front = front[(front > ref).all(-1)]
+    return float(hypervolume(front, ref)) if len(front) else 0.0

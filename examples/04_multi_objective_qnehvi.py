@@ -35,3 +35,11 @@ for it in range(6):
     front = front[(front > np.asarray(ref)).all(-1)]
     hv = hypervolume(front, np.asarray(ref)) if len(front) else 0.0
     print(f"iter {it}: hypervolume={hv:.2f} (max {prob.max_hv:.2f})")
+
+# Fully-compiled variant (one XLA program for the whole MO campaign;
+# fixed shapes via padded baselines + qNEHVI baseline_mask):
+#
+#   from botorch_tpu.mo_loop import run_mo_bo_loop, observed_hypervolume
+#   state = run_mo_bo_loop(prob, d=2, m=2, ref_point=ref, n_init=12,
+#                          iterations=20, key=jax.random.PRNGKey(0))
+#   print(observed_hypervolume(state, ref))

@@ -119,3 +119,31 @@ def test_compiled_loop_qlognei():
     )
     assert int(state.n) == 9
     assert np.isfinite(float(best_observed(state)))
+
+
+def test_run_mo_bo_loop_improves_hypervolume():
+    """The fully-compiled multi-objective loop (qLogNEHVI over padded
+    baselines, m=2 in-graph staircase cells) improves the dominated
+    hypervolume on BraninCurrin."""
+    from botorch_tpu.mo_loop import observed_hypervolume, run_mo_bo_loop
+    from botorch_tpu.test_functions.multi_objective import BraninCurrin
+
+    prob = BraninCurrin(negate=True)
+    ref = prob.ref_point
+    cfg = dict(
+        num_restarts=2, raw_samples=16, fit_restarts=2,
+        fit_maxiter=10, acq_maxiter=10, mc_samples=16,
+    )
+    s1 = run_mo_bo_loop(
+        prob, d=2, m=2, ref_point=ref, n_init=8, iterations=1,
+        key=jax.random.PRNGKey(0), **cfg
+    )
+    s8 = run_mo_bo_loop(
+        prob, d=2, m=2, ref_point=ref, n_init=8, iterations=8,
+        key=jax.random.PRNGKey(0), **cfg
+    )
+    hv1 = observed_hypervolume(s1, ref)
+    hv8 = observed_hypervolume(s8, ref)
+    assert int(s8.n) == 16
+    assert hv8 >= hv1
+    assert hv8 > 0.5 * prob.max_hv
