@@ -59,3 +59,45 @@ def test_dryrun_multichip():
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
     ge.dryrun_multichip(8)
+
+
+@needs_8
+def test_sharded_nuts_chains_match_unsharded():
+    """NUTS chains are vmapped lanes (SURVEY §2.10): sharding the chain
+    axis over the mesh partitions the lanes, and the pooled cross-chain
+    adaptation reductions (mean accept prob, mass-matrix moments) become
+    collectives. The partitioned program must compute the same chains."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from botorch_tpu.sampling.nuts import run_nuts
+
+    k = 3
+
+    def potential(z):  # correlated Gaussian
+        d = z - jnp.asarray([1.0, -0.5, 0.25])
+        A = jnp.asarray(
+            [[2.0, 0.5, 0.0], [0.5, 1.5, 0.3], [0.0, 0.3, 1.0]]
+        )
+        return 0.5 * d @ A @ d
+
+    z0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, k)), jnp.float32
+    )
+    key = jax.random.PRNGKey(0)
+    run = lambda z: run_nuts(
+        potential, z, key, num_warmup=64, num_samples=64, max_depth=5
+    )
+    samples_ref, _ = jax.jit(run)(z0)
+
+    mesh = make_mesh(8)
+    with mesh:
+        z0_sharded = jax.device_put(
+            z0, NamedSharding(mesh, P("restart", None))
+        )
+        samples_sh, _ = jax.jit(run)(z0_sharded)
+    np.testing.assert_allclose(
+        np.asarray(samples_sh), np.asarray(samples_ref), atol=5e-3
+    )
+    # statistical sanity: pooled mean near the target mean
+    pooled = np.asarray(samples_sh).reshape(-1, k)
+    assert np.abs(pooled.mean(0) - np.asarray([1.0, -0.5, 0.25])).max() < 0.25
