@@ -311,6 +311,14 @@ def make_qnehvi(
         bs = post.rsample_from_base_samples(base[:, :nb, :])
         bs_np = np.asarray(bs)
         ref_np = np.asarray(ref_point)
+        # honor a padded-baseline mask on the host-cell path too: masked
+        # rows are moved strictly below ref so they never enter a front
+        # (the m=2 in-graph path applies the same rule at eval time)
+        bm = kwargs.get("baseline_mask")
+        if bm is not None:
+            bs_np = np.where(
+                np.asarray(bm)[None, :, None], bs_np, ref_np - 1.0
+            )
         fronts = []
         for s in range(bs_np.shape[0]):
             Y = bs_np[s]

@@ -96,13 +96,15 @@ def sample_params_from_priors(
     else:
         raw_noise = jnp.broadcast_to(p.raw_noise, (n, *p.raw_noise.shape))
     if model.use_outputscale:
-        os_ = priors_mod.Gamma(2.0, 0.15).sample(k_os, (n, *p.raw_outputscale.shape))
+        os_ = priors_mod.gamma_outputscale_prior().sample(
+            k_os, (n, *p.raw_outputscale.shape)
+        )
         raw_os = jnp.log(os_)
     else:
         raw_os = jnp.broadcast_to(p.raw_outputscale, (n, *p.raw_outputscale.shape))
     if p.raw_kernel_weights is not None:
         k_w = jax.random.fold_in(k_os, 1)
-        w_ = priors_mod.Gamma(2.0, 0.15).sample(
+        w_ = priors_mod.gamma_outputscale_prior().sample(
             k_w, (n, *p.raw_kernel_weights.shape)
         )
         raw_kw = jnp.log(jnp.clip(w_, 1e-6, 1e4))

@@ -222,11 +222,9 @@ def observed_hypervolume(state: MOBOState, ref_point) -> float:
     (host-side; use after the compiled run)."""
     import numpy as np
 
-    from botorch_tpu.utils.multi_objective import hypervolume, is_non_dominated
+    from botorch_tpu.utils.multi_objective import hypervolume
 
     n = int(state.n)
     Y = np.asarray(state.Y)[:n]
-    ref = np.asarray(ref_point)
-    front = Y[np.asarray(is_non_dominated(jnp.asarray(Y)))]
-    front = front[(front > ref).all(-1)]
-    return float(hypervolume(front, ref)) if len(front) else 0.0
+    # hypervolume's m=2 staircase already drops dominated/below-ref points
+    return float(hypervolume(Y, np.asarray(ref_point)))

@@ -229,12 +229,14 @@ class SingleTaskGP(struct.PyTreeNode):
                 priors_mod.noise_prior(self.priors).log_prob(params.noise), -1
             )
         if self.use_outputscale:
-            lp = lp + jnp.sum(priors_mod.Gamma(2.0, 0.15).log_prob(params.outputscale), -1)
-        if params.raw_kernel_weights is not None:
-            # Gamma(2, 0.15) on each mixture weight — the reference's
-            # ScaleKernel outputscale prior applied per component.
             lp = lp + jnp.sum(
-                priors_mod.Gamma(2.0, 0.15).log_prob(params.kernel_weights),
+                priors_mod.gamma_outputscale_prior().log_prob(params.outputscale), -1
+            )
+        if params.raw_kernel_weights is not None:
+            # the reference's ScaleKernel outputscale prior, applied per
+            # mixture component.
+            lp = lp + jnp.sum(
+                priors_mod.gamma_outputscale_prior().log_prob(params.kernel_weights),
                 axis=(-1, -2),
             )
         return lp

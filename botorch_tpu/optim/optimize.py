@@ -418,9 +418,17 @@ def gen_value_function_initial_conditions(
         nf *= s
 
     n_value = int((1 - frac_random) * raw_samples)
-    std = jnp.std(vals)
-    z = (vals - jnp.mean(vals)) / jnp.where(std > 0, std, 1.0)
-    w = jnp.exp(eta * z)
+    # Non-finite guard (same policy as `initialize_q_batch`): a diverged
+    # inner restart maps to -inf in `optimize_acqf(return_full=True)` and
+    # would otherwise poison the softmax with NaN.
+    finite = jnp.isfinite(vals)
+    mean = jnp.mean(vals, where=finite)
+    mean = jnp.where(jnp.isfinite(mean), mean, 0.0)
+    std = jnp.std(vals, where=finite)
+    std = jnp.where((std > 0) & jnp.isfinite(std), std, 1.0)
+    z = jnp.where(finite, (vals - mean) / std, -jnp.inf)
+    w = jnp.exp(eta * z)  # exp(-inf) = 0: diverged restarts never sampled
+    w = jnp.where(jnp.any(finite), w, jnp.ones_like(w))  # all-diverged: uniform
     idx = jax.random.choice(
         k_mult, cands.shape[0], (n_value, nf), replace=True, p=w / jnp.sum(w)
     )

@@ -101,10 +101,14 @@ def detect_duplicates(X, rtol: float = 0.0, atol: float = 1e-8):
         rval = np.max(np.abs(Xn), axis=-1, keepdims=True)
         tols = tols + rtol * np.maximum(rval, rval.T)
     dist = np.where(np.tri(n, k=0, dtype=bool), np.inf, dist)  # upper only
+    # argmin over the TOLERANCE-ADJUSTED distance (the reference minimizes
+    # `(dist - tols)`, `assorted.py:329` — with rtol > 0 the nearest raw
+    # neighbor may fail its tolerance while a farther one passes)
+    adj = dist - (tols if np.isscalar(tols) else tols)
     for i in range(n):
-        col = dist[:, i]
+        col = adj[:, i]
         j = int(np.argmin(col))
-        if col[j] - (tols if np.isscalar(tols) else tols[j, i]) < 0:
+        if col[j] < 0:
             yield (i, j)
 
 
@@ -119,6 +123,10 @@ def consolidate_duplicates(X, Y, rtol: float = 0.0, atol: float = 1e-8):
     Yn = np.asarray(Y)
     n = Xn.shape[0]
     dup_map = dict(detect_duplicates(Xn, rtol=rtol, atol=atol))
+    # Conservative chain handling, exactly as the reference
+    # (`assorted.py:357-363`): entries whose key or target participates in
+    # a duplicate CHAIN (a row that is both kept and dropped) are left
+    # unconsolidated rather than resolved to a root.
     common = set(dup_map.keys()).intersection(dup_map.values())
     for k in list(dup_map):
         if k in common or dup_map[k] in common:

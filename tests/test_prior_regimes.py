@@ -163,3 +163,17 @@ def test_gen_value_function_initial_conditions(data):
     assert bool(jnp.all((ics >= 0) & (ics <= 1)))
     # branches should get distinct ICs (per-branch selection)
     assert not np.allclose(np.asarray(ics[:, 0]), np.asarray(ics[:, 1]))
+
+
+def test_detect_duplicates_rtol_adjusted_argmin():
+    """With rtol > 0 the duplicate's 'original' is the row minimizing the
+    TOLERANCE-ADJUSTED distance (reference computes `(dist - tols).min`,
+    `assorted.py:329`), not the raw-nearest row."""
+    from botorch_tpu.utils.transforms import detect_duplicates
+
+    X = np.array([[10.0, 0.0], [5.0, 0.0], [0.5, 0.0]])
+    # tols(j,i) = rtol * max(|row_j|, |row_i|):
+    #   col 2: d(0,2)-t = 9.5-10.5 = -1.0 < d(1,2)-t = 4.5-5.25 = -0.75,
+    #   so row 2's original is row 0 even though row 1 is raw-nearest.
+    d = dict(detect_duplicates(X, rtol=1.05))
+    assert d == {1: 0, 2: 0}
