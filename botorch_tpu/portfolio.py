@@ -155,3 +155,24 @@ def run_mmma(
         chosen_acqf=jnp.asarray(chosen),
         kernel_weights=jnp.stack(kw_hist),
     )
+
+
+class MMMAMetrics(NamedTuple):
+    gap: Array  # (iters,) in [0, 1]
+    simple_regret: Array  # (iters,)
+    cumulative_regret: Array  # (iters,) running sum of per-eval regret
+
+
+def mmma_metrics(result: MMMAResult, true_max: float, n_init: int) -> MMMAMetrics:
+    """The reference's MMMA tracking metrics (`MMMA/MMMA.py:77,190-195`):
+    gap = (best_found - best_init) / (true_max - best_init), simple regret
+    of the incumbent, and cumulative regret of the evaluated points."""
+    true_max = jnp.asarray(true_max, jnp.float32)
+    best_init = jnp.max(result.Y[:n_init])
+    denom = jnp.maximum(true_max - best_init, 1e-12)
+    gap = jnp.clip((result.best_curve - best_init) / denom, 0.0, 1.0)
+    simple = true_max - result.best_curve
+    cumulative = jnp.cumsum(true_max - result.Y[n_init:])
+    return MMMAMetrics(
+        gap=gap, simple_regret=simple, cumulative_regret=cumulative
+    )

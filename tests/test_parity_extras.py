@@ -293,3 +293,25 @@ def test_get_best_candidates_skips_nonfinite():
     vals = jnp.array([0.1, jnp.nan, 0.5])
     best = get_best_candidates(cands, vals)
     np.testing.assert_allclose(np.asarray(best), [[4.0], [5.0]])
+
+
+def test_mmma_metrics():
+    """Gap / simple / cumulative regret tracking (reference
+    `MMMA/MMMA.py:77,190-195`) computed from an MMMA result."""
+    from botorch_tpu.portfolio import MMMAResult, mmma_metrics
+
+    Y = jnp.asarray([0.1, 0.3, 0.2, 0.5, 0.7, 0.6])  # 3 init + 3 iters
+    best_curve = jnp.asarray([0.5, 0.7, 0.7])
+    res = MMMAResult(X=None, Y=Y, best_curve=best_curve,
+                     chosen_acqf=None, kernel_weights=None)
+    m = mmma_metrics(res, true_max=1.0, n_init=3)
+    # gap: best_init 0.3, denom 0.7 -> [(0.5-0.3)/0.7, (0.7-0.3)/0.7, same]
+    np.testing.assert_allclose(
+        np.asarray(m.gap), [0.2 / 0.7, 0.4 / 0.7, 0.4 / 0.7], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.simple_regret), [0.5, 0.3, 0.3], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.cumulative_regret), [0.5, 0.8, 1.2], rtol=1e-6
+    )
