@@ -21,6 +21,8 @@ from botorch_tpu.sampling.samplers import (
     ForkedRNGSampler,
     IIDNormalSampler,
     ListSampler,
+    PairwiseIIDNormalSampler,
+    PairwiseSobolQMCNormalSampler,
     SobolQMCNormalSampler,
     StochasticSampler,
     get_sampler,

@@ -94,6 +94,79 @@ class ForkedRNGSampler(struct.PyTreeNode):
         )
 
 
+def _comparison_pairs(n: int, max_num_comparisons: Optional[int], seed: int):
+    """Static comparison-pair index set: all C(n,2) pairs, optionally
+    subsampled without replacement. Chosen once at trace time (shapes
+    must be static on TPU), matching the reference's construction-time
+    `np.random.choice` (`pairwise_samplers.py:58-66`)."""
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if max_num_comparisons is not None and max_num_comparisons < len(pairs):
+        perm = jax.random.permutation(
+            jax.random.PRNGKey(seed ^ 0x5EED), len(pairs)
+        )
+        idx = sorted(int(k) for k in perm[:max_num_comparisons])
+        pairs = [pairs[k] for k in idx]
+    return jnp.asarray(pairs, dtype=jnp.int32)  # (comp_n, 2)
+
+
+def _make_comparisons(samples: Array, pairs: Array) -> Array:
+    """Turn utility samples into winner-first comparison index pairs
+    (reference `sampling/pairwise_samplers.py:40-78`): for each sampled
+    utility vector, emit `[argwinner, argloser]` over the fixed pair set.
+    All on-device: a gather + `where`, no host round-trip."""
+    if samples.shape[-1] == 1:  # (..., n, m=1) -> (..., n)
+        samples = samples[..., 0]
+    u_i = samples[..., pairs[:, 0]]
+    u_j = samples[..., pairs[:, 1]]
+    pref = u_i > u_j
+    c1 = jnp.where(pref, pairs[:, 0], pairs[:, 1])
+    c2 = jnp.where(pref, pairs[:, 1], pairs[:, 0])
+    return jnp.stack([c1, c2], axis=-1)  # (..., comp_n, 2) int32
+
+
+class PairwiseIIDNormalSampler(struct.PyTreeNode):
+    """Pairwise-comparison sampler over i.i.d. normal utility draws
+    (reference `pairwise_samplers.py:82 PairwiseIIDNormalSampler`): draws
+    utility samples from the posterior via the SAA base-sample path, then
+    converts each draw into winner-first comparison pairs for use with
+    `PairwiseGP`-style preference acquisition."""
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+    seed: int = struct.field(pytree_node=False, default=0)
+    max_num_comparisons: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
+
+    def __call__(self, posterior) -> Array:
+        samples = IIDNormalSampler(self.sample_shape, self.seed)(posterior)
+        n = samples.shape[-2] if samples.shape[-1] == 1 else samples.shape[-1]
+        if n < 2:
+            raise ValueError("Need >= 2 candidates to form comparisons.")
+        return _make_comparisons(
+            samples, _comparison_pairs(n, self.max_num_comparisons, self.seed)
+        )
+
+
+class PairwiseSobolQMCNormalSampler(struct.PyTreeNode):
+    """Pairwise-comparison sampler over scrambled-Sobol qMC utility draws
+    (reference `pairwise_samplers.py:110`)."""
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+    seed: int = struct.field(pytree_node=False, default=0)
+    max_num_comparisons: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
+
+    def __call__(self, posterior) -> Array:
+        samples = SobolQMCNormalSampler(self.sample_shape, self.seed)(posterior)
+        n = samples.shape[-2] if samples.shape[-1] == 1 else samples.shape[-1]
+        if n < 2:
+            raise ValueError("Need >= 2 candidates to form comparisons.")
+        return _make_comparisons(
+            samples, _comparison_pairs(n, self.max_num_comparisons, self.seed)
+        )
+
+
 class ListSampler(struct.PyTreeNode):
     """One sampler per posterior in a list (reference
     `list_sampler.py:21`), for `ModelListGP`-style posteriors."""

@@ -353,3 +353,39 @@ def test_gaussian_mixture_posterior_helpers():
         np.swapaxes(np.diagonal(np.asarray(mc), axis1=-2, axis2=-1), -1, -2),
         np.asarray(mv), rtol=1e-5, atol=1e-6,
     )
+
+
+def test_pairwise_mc_samplers():
+    """`sampling/samplers.py` pairwise samplers (reference
+    `sampling/pairwise_samplers.py:20-110`): utility draws become
+    winner-first comparison index pairs over a static pair set."""
+    from botorch_tpu.sampling.samplers import (
+        PairwiseIIDNormalSampler,
+        PairwiseSobolQMCNormalSampler,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(12, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    post = model.posterior(X[:5])
+
+    for cls in (PairwiseIIDNormalSampler, PairwiseSobolQMCNormalSampler):
+        comps = cls(sample_shape=(64,), seed=0)(post)
+        assert comps.shape == (64, 10, 2)  # C(5,2) pairs, winner-first
+        assert comps.dtype == jnp.int32
+        assert bool((comps[..., 0] != comps[..., 1]).all())
+        # subsampling yields a static smaller pair set, valid indices
+        sub = cls(sample_shape=(16,), seed=1, max_num_comparisons=4)(post)
+        assert sub.shape == (16, 4, 2)
+        assert int(sub.max()) < 5 and int(sub.min()) >= 0
+
+    # winner really has the larger sampled utility
+    s = PairwiseIIDNormalSampler(sample_shape=(8,), seed=2)
+    comps = s(post)
+    z = jax.random.normal(jax.random.PRNGKey(2), (8, *post.base_sample_shape))
+    util = post.rsample_from_base_samples(z)[..., 0]
+    win = jnp.take_along_axis(util, comps[..., 0], axis=-1)
+    lose = jnp.take_along_axis(util, comps[..., 1], axis=-1)
+    assert bool((win >= lose).all())
