@@ -61,6 +61,75 @@ def hedge_update(
     return HedgeState(gains=state.gains + rewards)
 
 
+class ABEState(NamedTuple):
+    """Gaussian belief over per-acquisition 'risk' (negative acquisition
+    value), the ABEBO selector of `MMMA/test.py:35-117`."""
+
+    risk_mean: Array  # (A,)
+    risk_cov: Array  # (A, A)
+
+
+def abe_init(num_acqfs: int) -> ABEState:
+    """Standard-normal prior over acqf risks (`MMMA/test.py:43-44`)."""
+    return ABEState(
+        risk_mean=jnp.zeros(num_acqfs),
+        risk_cov=jnp.eye(num_acqfs),
+    )
+
+
+def abe_update(
+    state: ABEState,
+    losses: Array,
+    key: Array,
+    num_samples: int = 10000,
+) -> tuple[ABEState, Array]:
+    """One Bayesian risk update + probability-of-best weights
+    (`MMMA/test.py:89-110`): treat the observed per-acqf losses
+    (= negative acquisition values) as a Gaussian observation of the risk
+    vector with isotropic precision `1/var(losses)`, conjugate-update the
+    belief, then estimate `w_a = P(a = argmin risk)` by MC over the
+    posterior. TPU-native: the update is two (A, A) solves and the MC is
+    one batched Cholesky sample + one-hot mean — no 10000-iteration host
+    loop."""
+    A = losses.shape[0]
+    prec = 1.0 / jnp.maximum(jnp.var(losses), 1e-12)
+    prior_cov_inv = jnp.linalg.inv(state.risk_cov)
+    post_cov = jnp.linalg.inv(prior_cov_inv + prec * jnp.eye(A))
+    post_mean = post_cov @ (prior_cov_inv @ state.risk_mean + prec * losses)
+    L = jnp.linalg.cholesky(
+        post_cov + 1e-10 * jnp.eye(A)
+    )
+    z = jax.random.normal(key, (num_samples, A))
+    samples = post_mean + z @ L.T
+    best = jnp.argmin(samples, axis=-1)
+    weights = jnp.mean(
+        jax.nn.one_hot(best, A, dtype=post_mean.dtype), axis=0
+    )
+    return ABEState(risk_mean=post_mean, risk_cov=post_cov), weights
+
+
+def abe_propose(
+    state: ABEState,
+    candidates: Array,
+    acq_values: Array,
+    key: Array,
+    least_risk: bool = False,
+    num_samples: int = 10000,
+) -> tuple[ABEState, Array]:
+    """ABEBO candidate selection (`MMMA/test.py:45-117`): update the risk
+    belief with `losses = -acq_values`, then either return the
+    probability-of-best weighted convex combination of the per-acqf
+    candidates (`ensemble_decision :112-116`) or the current least-risk
+    acqf's candidate (`:82-85`)."""
+    state, weights = abe_update(state, -acq_values, key, num_samples)
+    if least_risk:
+        idx = jnp.argmin(state.risk_mean)
+        cand = jnp.take(candidates, idx, axis=0)
+    else:
+        cand = jnp.tensordot(weights, candidates, axes=1)
+    return state, cand
+
+
 class MMMAResult(NamedTuple):
     X: Array
     Y: Array
@@ -83,21 +152,31 @@ def run_mmma(
     fit_restarts: int = 2,
     fit_maxiter: int = 50,
     seed: int = 0,
+    selection: str = "hedge",
 ) -> MMMAResult:
     """The combined MMMA loop (`MMMA/MMMA.py:80-200`): per iteration,
     (1) fit one GP per kernel, compute BMA weights from MLLs and pick the
     highest-evidence kernel; (2) optimize every acquisition in the
-    portfolio; (3) select one candidate by the hedge bandit; (4) update
-    gains with each candidate's posterior mean.
+    portfolio; (3) select one candidate; (4) update the selector state.
+
+    `selection` picks the acquisition-portfolio selector:
+    `"hedge"` (Exp3 bandit, `MMMA.py:172-179`), `"random"` (uniform,
+    `acq_weight='random'` in `MMMA/test.py:176`), `"abe"` (ABEBO
+    probability-of-best ensemble blend, `MMMA/test.py:45-116`), or
+    `"abe_least_risk"` (`use_least_risk=True`, `MMMA/test.py:82-85`).
+    For the ABE modes `chosen_acqf` records the least-risk index.
 
     `objective: (q, d) -> (q,)`, maximization on the unit cube.
     """
+    if selection not in ("hedge", "random", "abe", "abe_least_risk"):
+        raise ValueError(f"unknown selection {selection!r}")
     from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
 
     sv, shift = sobol_table(d, scramble=True, seed=seed)
     X = draw_sobol(sv, shift, n_init)
     Y = objective(X)
     hedge = HedgeState(gains=jnp.zeros(len(acqf_names)))
+    abe = abe_init(len(acqf_names))
     ub = jnp.stack([jnp.zeros(d), jnp.ones(d)])
 
     best_curve, chosen, kw_hist = [], [], []
@@ -119,23 +198,34 @@ def run_mmma(
         model = models[int(jnp.argmax(w))]
 
         # (2) per-acqf candidates
-        cands = []
+        cands, vals = [], []
         for ai, name in enumerate(acqf_names):
             kwargs = {"best_f": Y.max()} if name in ("EI", "LogEI", "PI", "LogPI") else {}
             acqf = make_acqf(name, model, **kwargs)
-            cand, _ = optimize_acqf(
+            cand, val = optimize_acqf(
                 acqf, ub, q=1,
                 num_restarts=num_restarts, raw_samples=raw_samples,
                 key=jax.random.fold_in(k_acq, ai), seed=seed * 1000 + it,
             )
             cands.append(cand)
+            vals.append(val)
         cands = jnp.stack(cands)  # (A, 1, d)
 
-        # (3) hedge selection
-        p = hedge_probabilities(hedge, eta)
-        a_idx = int(jax.random.choice(k_pick, len(acqf_names), p=p))
+        # (3) candidate selection
+        if selection == "hedge":
+            p = hedge_probabilities(hedge, eta)
+            a_idx = int(jax.random.choice(k_pick, len(acqf_names), p=p))
+            x_new = cands[a_idx]
+        elif selection == "random":
+            a_idx = int(jax.random.choice(k_pick, len(acqf_names)))
+            x_new = cands[a_idx]
+        else:  # ABEBO ensemble / least-risk
+            abe, x_new = abe_propose(
+                abe, cands, jnp.stack(vals).reshape(-1), k_pick,
+                least_risk=(selection == "abe_least_risk"),
+            )
+            a_idx = int(jnp.argmin(abe.risk_mean))
         chosen.append(a_idx)
-        x_new = cands[a_idx]
         y_new = objective(x_new)
         X = jnp.concatenate([X, x_new])
         Y = jnp.concatenate([Y, y_new])

@@ -315,3 +315,56 @@ def test_mmma_metrics():
     np.testing.assert_allclose(
         np.asarray(m.cumulative_regret), [0.5, 0.8, 1.2], rtol=1e-6
     )
+
+
+def test_abe_update_and_propose():
+    """ABEBO risk-ensemble selector (reference `MMMA/test.py:35-117`):
+    conjugate Gaussian risk update, probability-of-best weights, ensemble
+    blend and least-risk selection."""
+    from botorch_tpu.portfolio import abe_init, abe_propose, abe_update
+
+    st = abe_init(3)
+    np.testing.assert_allclose(np.asarray(st.risk_cov), np.eye(3))
+
+    # acqf 0 clearly best (lowest loss): weights concentrate on it and the
+    # posterior mean orders accordingly.
+    losses = jnp.asarray([-5.0, 1.0, 2.0])
+    st1, w = abe_update(st, losses, jax.random.PRNGKey(0))
+    assert w.shape == (3,)
+    np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-6)
+    assert int(jnp.argmax(w)) == 0 and float(w[0]) > 0.5
+    assert int(jnp.argmin(st1.risk_mean)) == 0
+    # posterior contracts: cov diagonal shrinks below the prior's
+    assert float(jnp.diag(st1.risk_cov).max()) < 1.0
+
+    # closed-form check of the conjugate update (MMMA/test.py:92-99)
+    prec = 1.0 / float(jnp.var(losses))
+    post_cov = np.linalg.inv(np.eye(3) + prec * np.eye(3))
+    post_mean = post_cov @ (prec * np.asarray(losses))
+    np.testing.assert_allclose(np.asarray(st1.risk_mean), post_mean, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st1.risk_cov), post_cov, rtol=1e-5)
+
+    # propose: ensemble blend is a convex combination of candidates;
+    # least-risk returns the best acqf's candidate exactly.
+    cands = jnp.asarray([[[0.0, 0.0]], [[1.0, 1.0]], [[0.5, 0.5]]])
+    acq_vals = jnp.asarray([5.0, -1.0, -2.0])  # acqf 0 best (max value)
+    st2, blend = abe_propose(st, cands, acq_vals, jax.random.PRNGKey(1))
+    assert blend.shape == (1, 2)
+    assert 0.0 <= float(blend.min()) and float(blend.max()) <= 1.0
+    st3, pick = abe_propose(st, cands, acq_vals, jax.random.PRNGKey(2),
+                            least_risk=True)
+    np.testing.assert_allclose(np.asarray(pick), [[0.0, 0.0]])
+
+
+def test_run_mmma_abe_selection():
+    """`run_mmma(selection="abe")` drives a short loop end-to-end."""
+    from botorch_tpu.portfolio import run_mmma
+
+    obj = lambda X: -jnp.sum((X - 0.3) ** 2, axis=-1)
+    res = run_mmma(
+        obj, d=2, n_init=4, iterations=2, key=jax.random.PRNGKey(0),
+        kernels=("rbf",), acqf_names=("LogEI", "UCB"), selection="abe",
+        num_restarts=2, raw_samples=8, fit_restarts=1, fit_maxiter=10,
+    )
+    assert res.X.shape == (6, 2) and res.Y.shape == (6,)
+    assert bool(jnp.isfinite(res.best_curve).all())
