@@ -174,6 +174,45 @@ def main():
     jax.block_until_ready(out)
     cand_per_s = 64 / ((time.perf_counter() - t0) / 10)
 
+    # Config-5 at scale: SVGP at 10k+ observations (BASELINE.json names
+    # "TuRBO trust-region + variational GP (SVGP) scalable BO at 10k+
+    # observations"). Minibatch ELBO steps are one lax.scan; TuRBO
+    # Thompson candidates come from the SVGP joint posterior draw.
+    from botorch_tpu.models.approximate_gp import fit_svgp, make_svgp
+
+    n6, d6, m6 = 16384, 20, 256
+    X6 = jnp.asarray(rng.uniform(size=(n6, d6)), jnp.float32)
+    Y6 = -jnp.sum((X6 - 0.4) ** 2, axis=-1) + 0.01 * jnp.asarray(
+        rng.normal(size=(n6,)), jnp.float32
+    )
+    svgp_steps = 300
+    fit6 = lambda k: fit_svgp(
+        make_svgp(X6, Y6, num_inducing=m6), k,
+        steps=svgp_steps, batch_size=512,
+    )
+    svgp = fit6(jax.random.PRNGKey(0))
+    jax.block_until_ready(svgp.nu_mean)  # compile warmup
+    t0 = time.perf_counter()
+    svgp = fit6(jax.random.PRNGKey(1))
+    jax.block_until_ready(svgp.nu_mean)
+    svgp_steps_per_s = svgp_steps / (time.perf_counter() - t0)
+
+    st6 = turbo_init(best_value=float(Y6.max()))
+    center6 = X6[int(jnp.argmax(Y6))]
+    gen6 = jax.jit(
+        lambda key: generate_turbo_candidates(
+            svgp, st6, center6, key,
+            n_candidates=2048, q=64,
+        )
+    )
+    jax.block_until_ready(gen6(jax.random.PRNGKey(0)))
+    t0 = time.perf_counter()
+    out6 = None
+    for i in range(10):
+        out6 = gen6(jax.random.PRNGKey(1 + i))
+    jax.block_until_ready(out6)
+    svgp_cand_per_s = 64 / ((time.perf_counter() - t0) / 10)
+
     print(json.dumps({
         "metric": "bo_iters_per_s_branin_logei",
         "value": round(iters_per_s, 3),
@@ -187,6 +226,8 @@ def main():
         "qnehvi_mo_iters_per_s": round(mo_iters_per_s, 3),
         "qnehvi_hv_frac_of_max": round(mo_hv_frac, 4),
         "turbo_candidates_per_s_n2048": round(cand_per_s, 1),
+        "svgp_fit_steps_per_s_n16384": round(svgp_steps_per_s, 1),
+        "turbo_svgp_candidates_per_s_n16384": round(svgp_cand_per_s, 1),
         "device": str(jax.devices()[0]),
     }))
 

@@ -106,8 +106,10 @@ def generate_turbo_candidates(
     # per-dimension trust region scaled by ARD lengthscales
     if lengthscale_override is not None:
         ls = lengthscale_override
-    else:
+    elif hasattr(model, "params"):
         ls = model.params.lengthscale[..., 0, :]
+    else:  # flat-field models (SVGP): ARD lengthscale exposed directly
+        ls = model.lengthscale
     if ls.ndim > 1:  # ensemble: use the median model
         ls = jnp.median(ls, axis=tuple(range(ls.ndim - 1)))
     weights = ls / jnp.exp(jnp.mean(jnp.log(ls)))  # unit geometric mean

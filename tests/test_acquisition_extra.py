@@ -355,3 +355,30 @@ def test_k_step_lookahead_masked_padding_equivalence():
     Xf = jnp.asarray(rng.uniform(size=(5, 2)), jnp.float32)
     np.testing.assert_allclose(float(acqf(Xf)), float(acqf_p(Xf)),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_turbo_candidates_with_svgp():
+    """Config-5 pairing (BASELINE.json: 'TuRBO + variational GP at 10k+
+    observations'): `generate_turbo_candidates` must accept an SVGP model
+    — trust region scaled by its ARD lengthscales, Thompson sampling via
+    the joint-posterior draw (no pathwise representation)."""
+    from botorch_tpu.models.approximate_gp import fit_svgp, make_svgp
+    from botorch_tpu.optim.turbo import generate_turbo_candidates, turbo_init
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(256, 4)), jnp.float32)
+    Y = -jnp.sum((X - 0.4) ** 2, axis=-1)
+    svgp = fit_svgp(make_svgp(X, Y, num_inducing=24),
+                    jax.random.PRNGKey(0), steps=100, batch_size=128)
+    st = turbo_init(best_value=float(Y.max()))
+    cand = generate_turbo_candidates(
+        svgp, st, X[int(jnp.argmax(Y))], jax.random.PRNGKey(1),
+        n_candidates=128, q=4,
+    )
+    assert cand.shape == (4, 4)
+    assert bool((cand >= 0).all() and (cand <= 1).all())
+    # candidates stay inside the trust region around the incumbent
+    ls = svgp.lengthscale
+    w = ls / jnp.exp(jnp.mean(jnp.log(ls)))
+    center = X[int(jnp.argmax(Y))]
+    assert bool((jnp.abs(cand - center) <= 0.5 * st.length * w + 1e-6).all())
