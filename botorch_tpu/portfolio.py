@@ -92,7 +92,17 @@ def abe_update(
     one batched Cholesky sample + one-hot mean — no 10000-iteration host
     loop."""
     A = losses.shape[0]
-    prec = 1.0 / jnp.maximum(jnp.var(losses), 1e-12)
+    # Non-finite losses (an acqf whose every restart failed reports -inf
+    # value -> +inf loss) would NaN-poison the conjugate update; clamp
+    # them to the worst finite loss so the failed acqf is merely
+    # least-preferred this round.
+    finite = jnp.isfinite(losses)
+    worst = jnp.max(jnp.where(finite, losses, -jnp.inf))
+    worst = jnp.where(jnp.isfinite(worst), worst, 0.0)
+    losses = jnp.where(finite, losses, worst)
+    # ddof=1: the reference uses torch.var's unbiased estimator
+    # (`MMMA/test.py:92`).
+    prec = 1.0 / jnp.maximum(jnp.var(losses, ddof=1), 1e-12)
     prior_cov_inv = jnp.linalg.inv(state.risk_cov)
     post_cov = jnp.linalg.inv(prior_cov_inv + prec * jnp.eye(A))
     post_mean = post_cov @ (prior_cov_inv @ state.risk_mean + prec * losses)
@@ -230,12 +240,15 @@ def run_mmma(
         X = jnp.concatenate([X, x_new])
         Y = jnp.concatenate([Y, y_new])
 
-        # (4) rewards = posterior mean at every acqf's candidate
-        post = model.posterior(cands[:, 0, :])
-        rewards = post.mean[..., 0]
-        if rewards.ndim > 1:
-            rewards = rewards.mean(axis=tuple(range(rewards.ndim - 1)))
-        hedge = hedge_update(hedge, rewards)
+        # (4) hedge rewards = posterior mean at every acqf's candidate
+        # (only the hedge selector reads this state — skip the extra
+        # posterior solve otherwise)
+        if selection == "hedge":
+            post = model.posterior(cands[:, 0, :])
+            rewards = post.mean[..., 0]
+            if rewards.ndim > 1:
+                rewards = rewards.mean(axis=tuple(range(rewards.ndim - 1)))
+            hedge = hedge_update(hedge, rewards)
         best_curve.append(Y.max())
 
     return MMMAResult(

@@ -41,6 +41,8 @@ __all__ = [
     "ForkedRNGSampler",
     "IIDNormalSampler",
     "ListSampler",
+    "PairwiseIIDNormalSampler",
+    "PairwiseSobolQMCNormalSampler",
     "MatheronPath",
     "MultivariateNormalQMCEngine",
     "NormalQMCEngine",

@@ -109,13 +109,27 @@ def _comparison_pairs(n: int, max_num_comparisons: Optional[int], seed: int):
     return jnp.asarray(pairs, dtype=jnp.int32)  # (comp_n, 2)
 
 
+def _utility_samples(samples: Array) -> Array:
+    """Validate + squeeze posterior utility samples `(..., n, m=1)` to
+    `(..., n)`. The candidate axis is ALWAYS -2 (reference
+    `pairwise_samplers.py:53`: `s_n = samples.shape[-2]`); multi-output
+    posteriors are rejected, matching the reference's single-output
+    contract (`pairwise_samplers.py:44-45`)."""
+    if samples.ndim < 2 or samples.shape[-1] != 1:
+        raise ValueError(
+            "pairwise samplers need single-output utility samples of "
+            f"shape (..., n, 1); got {samples.shape}"
+        )
+    if samples.shape[-2] < 2:
+        raise ValueError("Need >= 2 candidates to form comparisons.")
+    return samples[..., 0]
+
+
 def _make_comparisons(samples: Array, pairs: Array) -> Array:
-    """Turn utility samples into winner-first comparison index pairs
-    (reference `sampling/pairwise_samplers.py:40-78`): for each sampled
-    utility vector, emit `[argwinner, argloser]` over the fixed pair set.
-    All on-device: a gather + `where`, no host round-trip."""
-    if samples.shape[-1] == 1:  # (..., n, m=1) -> (..., n)
-        samples = samples[..., 0]
+    """Turn utility samples `(..., n)` into winner-first comparison index
+    pairs (reference `sampling/pairwise_samplers.py:40-78`): for each
+    sampled utility vector, emit `[argwinner, argloser]` over the fixed
+    pair set. All on-device: a gather + `where`, no host round-trip."""
     u_i = samples[..., pairs[:, 0]]
     u_j = samples[..., pairs[:, 1]]
     pref = u_i > u_j
@@ -138,12 +152,12 @@ class PairwiseIIDNormalSampler(struct.PyTreeNode):
     )
 
     def __call__(self, posterior) -> Array:
-        samples = IIDNormalSampler(self.sample_shape, self.seed)(posterior)
-        n = samples.shape[-2] if samples.shape[-1] == 1 else samples.shape[-1]
-        if n < 2:
-            raise ValueError("Need >= 2 candidates to form comparisons.")
+        u = _utility_samples(
+            IIDNormalSampler(self.sample_shape, self.seed)(posterior)
+        )
         return _make_comparisons(
-            samples, _comparison_pairs(n, self.max_num_comparisons, self.seed)
+            u,
+            _comparison_pairs(u.shape[-1], self.max_num_comparisons, self.seed),
         )
 
 
@@ -158,12 +172,12 @@ class PairwiseSobolQMCNormalSampler(struct.PyTreeNode):
     )
 
     def __call__(self, posterior) -> Array:
-        samples = SobolQMCNormalSampler(self.sample_shape, self.seed)(posterior)
-        n = samples.shape[-2] if samples.shape[-1] == 1 else samples.shape[-1]
-        if n < 2:
-            raise ValueError("Need >= 2 candidates to form comparisons.")
+        u = _utility_samples(
+            SobolQMCNormalSampler(self.sample_shape, self.seed)(posterior)
+        )
         return _make_comparisons(
-            samples, _comparison_pairs(n, self.max_num_comparisons, self.seed)
+            u,
+            _comparison_pairs(u.shape[-1], self.max_num_comparisons, self.seed),
         )
 
 

@@ -389,3 +389,11 @@ def test_pairwise_mc_samplers():
     win = jnp.take_along_axis(util, comps[..., 0], axis=-1)
     lose = jnp.take_along_axis(util, comps[..., 1], axis=-1)
     assert bool((win >= lose).all())
+
+    # multi-output posteriors are rejected (the reference's single-output
+    # contract, pairwise_samplers.py:44-45), not silently mis-compared
+    Y2 = jnp.concatenate([Y, jnp.cos(2 * X[:, :1])], axis=-1)
+    m2 = fit_gp(make_gp(X, Y2), jax.random.PRNGKey(0), num_restarts=1,
+                maxiter=10)
+    with pytest.raises(ValueError, match="single-output"):
+        PairwiseIIDNormalSampler(sample_shape=(4,))(m2.posterior(X[:4]))

@@ -332,13 +332,14 @@ def test_abe_update_and_propose():
     st1, w = abe_update(st, losses, jax.random.PRNGKey(0))
     assert w.shape == (3,)
     np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-6)
-    assert int(jnp.argmax(w)) == 0 and float(w[0]) > 0.5
+    assert int(jnp.argmax(w)) == 0 and float(w[0]) > 0.4
     assert int(jnp.argmin(st1.risk_mean)) == 0
     # posterior contracts: cov diagonal shrinks below the prior's
     assert float(jnp.diag(st1.risk_cov).max()) < 1.0
 
-    # closed-form check of the conjugate update (MMMA/test.py:92-99)
-    prec = 1.0 / float(jnp.var(losses))
+    # closed-form check of the conjugate update (MMMA/test.py:92-99;
+    # torch.var is unbiased -> ddof=1)
+    prec = 1.0 / float(jnp.var(losses, ddof=1))
     post_cov = np.linalg.inv(np.eye(3) + prec * np.eye(3))
     post_mean = post_cov @ (prec * np.asarray(losses))
     np.testing.assert_allclose(np.asarray(st1.risk_mean), post_mean, rtol=1e-5)
@@ -354,6 +355,15 @@ def test_abe_update_and_propose():
     st3, pick = abe_propose(st, cands, acq_vals, jax.random.PRNGKey(2),
                             least_risk=True)
     np.testing.assert_allclose(np.asarray(pick), [[0.0, 0.0]])
+
+    # a -inf acquisition value (all restarts failed) must not NaN-poison
+    # the risk state: it is clamped to the worst finite loss
+    bad_vals = jnp.asarray([5.0, -jnp.inf, -2.0])
+    st4, blend4 = abe_propose(st, cands, bad_vals, jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(st4.risk_mean).all())
+    assert bool(jnp.isfinite(st4.risk_cov).all())
+    assert bool(jnp.isfinite(blend4).all())
+    assert int(jnp.argmin(st4.risk_mean)) == 0  # acqf 0 still preferred
 
 
 def test_run_mmma_abe_selection():
