@@ -28,10 +28,12 @@ RESTART_AXIS = "restart"
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axis_name: str = RESTART_AXIS
+    n_devices: Optional[int] = None,
+    axis_name: str = RESTART_AXIS,
+    devices=None,
 ) -> Mesh:
-    """1-D mesh over the first `n_devices` local devices."""
-    devs = jax.devices()
+    """1-D mesh over the first `n_devices` local devices (or `devices`)."""
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
