@@ -16,7 +16,7 @@ Usage:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
@@ -30,9 +30,16 @@ RESTART_AXIS = "restart"
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_name: str = RESTART_AXIS,
-    devices=None,
+    devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D mesh over the first `n_devices` local devices (or `devices`)."""
+    """1-D mesh over local devices.
+
+    Args:
+        n_devices: keep only the first `n_devices` devices. Applies to an
+            explicit `devices` list too (the list is truncated).
+        axis_name: mesh axis name (default ``"restart"``).
+        devices: explicit device list; defaults to ``jax.devices()``.
+    """
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]

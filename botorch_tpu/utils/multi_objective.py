@@ -284,10 +284,19 @@ def dominated_hypervolume_np(pareto_Y: np.ndarray, ref_point: np.ndarray) -> flo
 
 def hypervolume(pareto_Y, ref_point) -> float:
     """Exact hypervolume (maximization), dispatching 2-d JAX / m-d host
-    (reference `Hypervolume.compute`, `hypervolume.py:152-366`)."""
+    (reference `Hypervolume.compute`, `hypervolume.py:152-366`). For
+    m >= 3 the native C++ engine (csrc/box_decomposition.cpp) is used
+    when available; the numpy Lacour-complement path is the fallback."""
     Y = np.asarray(pareto_Y)
     if Y.shape[-1] == 2:
         return float(hypervolume_2d(jnp.asarray(Y), jnp.asarray(ref_point)))
+    from botorch_tpu.utils.native import hypervolume_batch_native
+
+    out = hypervolume_batch_native(
+        [np.asarray(Y, np.float64)], np.asarray(ref_point, np.float64)
+    )
+    if out is not None:
+        return float(out[0])
     return dominated_hypervolume_np(Y, np.asarray(ref_point))
 
 
@@ -384,12 +393,15 @@ def approximate_pareto_Y(pareto_Y: np.ndarray, ref_point: np.ndarray,
     hv_full = dominated_hypervolume_np(pareto_Y, ref_point)
     if hv_full <= 0:
         return pareto_Y
-    keep = []
-    for i in range(len(pareto_Y)):
-        rest = np.delete(pareto_Y, i, axis=0)
-        contrib = hv_full - dominated_hypervolume_np(rest, ref_point)
-        keep.append(contrib > alpha * hv_full)
-    keep = np.asarray(keep)
+    from botorch_tpu.utils.native import hypervolume_batch_native
+
+    loo = [np.delete(pareto_Y, i, axis=0) for i in range(len(pareto_Y))]
+    hv_loo = hypervolume_batch_native(loo, np.asarray(ref_point, np.float64))
+    if hv_loo is None:
+        hv_loo = np.array(
+            [dominated_hypervolume_np(rest, ref_point) for rest in loo]
+        )
+    keep = (hv_full - hv_loo) > alpha * hv_full
     if not keep.any():  # always keep at least the largest contributor
         keep[np.argmax(pareto_Y.sum(-1))] = True
     return pareto_Y[keep]
@@ -432,6 +444,14 @@ class BoxDecompositionList:
         return lo, hi
 
     def compute_hypervolume(self) -> Array:
+        from botorch_tpu.utils.native import hypervolume_batch_native
+
+        out = hypervolume_batch_native(
+            [np.asarray(f, np.float64) for f in self.fronts],
+            np.asarray(self.ref_point, np.float64),
+        )
+        if out is not None:
+            return jnp.asarray(out)
         return jnp.asarray(
             [dominated_hypervolume_np(f, self.ref_point) for f in self.fronts]
         )

@@ -56,6 +56,16 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),  # out_cell_counts
                 ctypes.c_int64,  # max_cells
             ]
+            lib.hypervolume_batch.restype = ctypes.c_int
+            lib.hypervolume_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_double),  # fronts
+                ctypes.POINTER(ctypes.c_int64),  # front_sizes
+                ctypes.c_int64,  # n_samples
+                ctypes.c_int64,  # max_front
+                ctypes.c_int64,  # m
+                ctypes.POINTER(ctypes.c_double),  # ref_point
+                ctypes.POINTER(ctypes.c_double),  # out_hv
+            ]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -124,3 +134,39 @@ def decompose_batch_native(
         )
     C = max(int(counts.max(initial=1)), 1)
     return out_lo[:, :C], out_up[:, :C], counts
+
+
+def hypervolume_batch_native(
+    fronts: list[np.ndarray], ref_point: np.ndarray
+) -> Optional[np.ndarray]:
+    """Exact dominated hypervolume per front (maximization), batched in
+    one native call. Same Lacour-complement scheme as
+    `utils/multi_objective.py::dominated_hypervolume_np`, ~interpreter-free.
+    Returns `(S,)` float64 or `None` if the native library is unavailable.
+    """
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    S = len(fronts)
+    m = int(ref_point.shape[-1])
+    max_front = max((f.shape[0] for f in fronts), default=0)
+    max_front = max(max_front, 1)
+    F = np.zeros((S, max_front, m), np.float64)
+    sizes = np.zeros((S,), np.int64)
+    for s, f in enumerate(fronts):
+        k = f.shape[0]
+        sizes[s] = k
+        if k:
+            F[s, :k] = f
+    ref = np.ascontiguousarray(ref_point, np.float64)
+    out = np.zeros((S,), np.float64)
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_ip = ctypes.POINTER(ctypes.c_int64)
+    lib.hypervolume_batch(
+        F.ctypes.data_as(c_dp),
+        sizes.ctypes.data_as(c_ip),
+        S, max_front, m,
+        ref.ctypes.data_as(c_dp),
+        out.ctypes.data_as(c_dp),
+    )
+    return out

@@ -132,9 +132,96 @@ void cell_bounds(const LubSet& s, const double* ref, double clip_max,
   }
 }
 
+// Shared per-front pipeline: step-1 LUBs over -Y, step-2 LUBs over -U,
+// then Lacour Eq. 2 cells with reference +inf (the non-dominated region).
+void nondominated_cells(const double* front, int64_t n_points, int m,
+                        const double* ref_point, double clip_max,
+                        std::vector<double>& lower,
+                        std::vector<double>& upper) {
+  std::vector<double> neg(m);
+  LubSet s1{m, {}, {}};
+  s1.U.assign(m, 0.0);
+  for (int j = 0; j < m; ++j) s1.U[j] = -ref_point[j];
+  s1.Z.assign(m * m, -kInf);
+  for (int j = 0; j < m; ++j) s1.Z[j * m + j] = s1.U[j];
+  for (int64_t p = 0; p < n_points; ++p) {
+    for (int j = 0; j < m; ++j) neg[j] = -front[p * m + j];
+    lub_update(s1, neg.data());
+  }
+  LubSet s2{m, {}, {}};
+  s2.U.assign(m, kInf);
+  s2.Z.resize(m * m);
+  for (int j = 0; j < m; ++j) {
+    for (int c = 0; c < m; ++c) s2.Z[j * m + c] = ref_point[c];
+    s2.Z[j * m + j] = kInf;
+  }
+  const int k1 = s1.size();
+  for (int i = 0; i < k1; ++i) {
+    for (int j = 0; j < m; ++j) neg[j] = -s1.U[i * m + j];
+    lub_update(s2, neg.data());
+  }
+  std::vector<double> ref_inf(m, kInf);
+  cell_bounds(s2, ref_inf.data(), clip_max, lower, upper);
+}
+
+// Exact dominated hypervolume of one MAXIMIZATION front: the complement
+// of the non-dominated decomposition inside [ref, componentwise-max]
+// (same scheme as `utils/multi_objective.py::dominated_hypervolume_np`).
+double hypervolume_one(const double* front, int64_t n_points, int m,
+                       const double* ref_point) {
+  // filter to points strictly above the reference
+  std::vector<double> kept;
+  kept.reserve(n_points * m);
+  for (int64_t p = 0; p < n_points; ++p) {
+    bool above = true;
+    for (int j = 0; j < m; ++j) {
+      if (!(front[p * m + j] > ref_point[j])) { above = false; break; }
+    }
+    if (above) {
+      kept.insert(kept.end(), front + p * m, front + (p + 1) * m);
+    }
+  }
+  const int64_t n = static_cast<int64_t>(kept.size()) / m;
+  if (n == 0) return 0.0;
+  std::vector<double> zmax(m, -kInf);
+  for (int64_t p = 0; p < n; ++p) {
+    for (int j = 0; j < m; ++j) zmax[j] = std::max(zmax[j], kept[p * m + j]);
+  }
+  double box = 1.0;
+  for (int j = 0; j < m; ++j) box *= zmax[j] - ref_point[j];
+  std::vector<double> lower, upper;
+  nondominated_cells(kept.data(), n, m, ref_point, kInf, lower, upper);
+  const int cells = static_cast<int>(lower.size()) / m;
+  double nondom = 0.0;
+  for (int i = 0; i < cells; ++i) {
+    double v = 1.0;
+    for (int j = 0; j < m; ++j) {
+      const double lo = std::clamp(lower[i * m + j], ref_point[j], zmax[j]);
+      const double up = std::clamp(upper[i * m + j], ref_point[j], zmax[j]);
+      v *= std::max(up - lo, 0.0);
+    }
+    nondom += v;
+  }
+  return box - nondom;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Batched exact hypervolume (maximization). `fronts`: (n_samples,
+// max_front, m); only the first front_sizes[s] rows of sample s are read.
+// Writes n_samples doubles to out_hv. Returns 0.
+int hypervolume_batch(const double* fronts, const int64_t* front_sizes,
+                      int64_t n_samples, int64_t max_front, int64_t m_,
+                      const double* ref_point, double* out_hv) {
+  const int m = static_cast<int>(m_);
+  for (int64_t sidx = 0; sidx < n_samples; ++sidx) {
+    out_hv[sidx] = hypervolume_one(fronts + sidx * max_front * m,
+                                   front_sizes[sidx], m, ref_point);
+  }
+  return 0;
+}
 
 // See file header for the contract. `fronts`: (n_samples, max_front, m)
 // MAXIMIZATION pareto points (only first front_sizes[s] rows valid).

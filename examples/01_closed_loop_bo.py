@@ -3,6 +3,8 @@ tutorial, TPU-style): the entire loop is ONE compiled XLA program.
 
 Run: python examples/01_closed_loop_bo.py  (CPU: force jax_platforms=cpu)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 
 from botorch_tpu.loop import best_observed, run_bo_loop

@@ -1,6 +1,8 @@
 """The reference-style modular workflow: construct model -> fit -> build
 acquisition -> optimize, one iteration at a time (for non-jittable
 objectives)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,7 @@
 """SAASBO: high-dimensional BO with the fully-Bayesian SAAS prior and the
 native multi-chain NUTS sampler (reference SAASBO tutorial)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 import jax.numpy as jnp
 

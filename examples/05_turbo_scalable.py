@@ -1,5 +1,7 @@
 """TuRBO trust-region BO with pathwise Thompson sampling over thousands of
 candidates (reference TuRBO tutorial)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 
 from botorch_tpu.optim.turbo import run_turbo

@@ -1,5 +1,7 @@
 """Constrained BO: outcome constraints via smoothed feasibility weighting
 in qLogEI, plus linear input constraints in the optimizer."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 import jax.numpy as jnp
 import numpy as np

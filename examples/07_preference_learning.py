@@ -1,5 +1,7 @@
 """Preference learning: pairwise-comparison GP + EUBO pair selection
 (reference preference-learning tutorial)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax.numpy as jnp
 import numpy as np
 

@@ -5,6 +5,8 @@ Run with a fake mesh on CPU:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python examples/08_multichip_sharding.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,8 @@
 beyond CPU limits — an n=4096 MAP fit executes in ~1.4 s on one v5e chip
 (n=10240 in ~14 s), and TuRBO Thompson sampling over thousands of
 candidates runs at >4000 candidates/s."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import jax

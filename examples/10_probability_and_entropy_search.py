@@ -6,6 +6,8 @@ box-truncated MVNs, the unified skew normal — and the PFES
 multi-objective entropy acquisition built on top of exact
 truncated-Gaussian entropies.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,8 @@ Pareto frontier, instead of hypervolume improvement.
 
 Run: python examples/11_mo_entropy_search.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 import time
 

@@ -61,3 +61,36 @@ def test_native_empty_front_is_single_full_cell():
     assert counts[0] == 1
     np.testing.assert_allclose(lo[0][0], 0.0)
     np.testing.assert_allclose(up[0][0], 1e8)
+
+
+@needs_native
+@pytest.mark.parametrize("m", [3, 4, 5])
+def test_native_hypervolume_matches_numpy(m):
+    from botorch_tpu.utils.multi_objective import dominated_hypervolume_np
+    from botorch_tpu.utils.native import hypervolume_batch_native
+
+    rng = np.random.default_rng(m)
+    fronts = [rng.uniform(size=(12, m)) for _ in range(6)]
+    # include an all-below-reference front and an empty front
+    fronts.append(np.full((4, m), -1.0))
+    fronts.append(np.zeros((0, m)))
+    ref = np.zeros(m) - 0.1
+    out = hypervolume_batch_native(fronts, ref)
+    exp = np.array([dominated_hypervolume_np(f, ref) for f in fronts])
+    np.testing.assert_allclose(out, exp, rtol=1e-9, atol=1e-12)
+    assert out[-1] == 0.0
+
+
+@needs_native
+def test_hypervolume_dispatch_uses_native_value():
+    from botorch_tpu.utils.multi_objective import (
+        dominated_hypervolume_np,
+        hypervolume,
+    )
+
+    rng = np.random.default_rng(7)
+    Y = rng.uniform(size=(25, 3))
+    ref = np.zeros(3)
+    assert np.isclose(
+        hypervolume(Y, ref), dominated_hypervolume_np(Y, ref), rtol=1e-9
+    )
