@@ -15,7 +15,7 @@ def objective(X):  # Branin on dims 0-1, 23 nuisance dims
     return prob(unnormalize(X[:, :2], prob.bounds))
 
 res = run_saasbo(
-    objective, d=25, n_init=16, iterations=12, key=jax.random.PRNGKey(0),
+    objective, d=25, n_init=16, iterations=6, key=jax.random.PRNGKey(0),
     num_chains=8,
 )
 print("best curve:", res.best_curve)
