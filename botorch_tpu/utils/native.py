@@ -38,7 +38,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", src, "-o", lib_path],
+                     "-std=c++17", "-pthread", src, "-o", lib_path],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(lib_path)

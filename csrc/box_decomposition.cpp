@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -205,6 +206,26 @@ double hypervolume_one(const double* front, int64_t n_points, int m,
   return box - nondom;
 }
 
+// Run `fn(s)` for s in [0, n) striped over worker threads. Single-threaded
+// when n is small or only one core is available.
+template <typename Fn>
+void parallel_for_samples(int64_t n, Fn fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t workers = std::min<int64_t>(hw ? hw : 1, n);
+  if (workers <= 1 || n < 4) {
+    for (int64_t s = 0; s < n; ++s) fn(s);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  for (int64_t w = 0; w < workers; ++w) {
+    pool.emplace_back([=]() {
+      for (int64_t s = w; s < n; s += workers) fn(s);
+    });
+  }
+  for (auto& t : pool) t.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -216,10 +237,10 @@ int hypervolume_batch(const double* fronts, const int64_t* front_sizes,
                       int64_t n_samples, int64_t max_front, int64_t m_,
                       const double* ref_point, double* out_hv) {
   const int m = static_cast<int>(m_);
-  for (int64_t sidx = 0; sidx < n_samples; ++sidx) {
+  parallel_for_samples(n_samples, [&](int64_t sidx) {
     out_hv[sidx] = hypervolume_one(fronts + sidx * max_front * m,
                                    front_sizes[sidx], m, ref_point);
-  }
+  });
   return 0;
 }
 
@@ -231,39 +252,16 @@ int decompose_batch(const double* fronts, const int64_t* front_sizes,
                     double* out_lower, double* out_upper,
                     int64_t* out_cell_counts, int64_t max_cells) {
   const int m = static_cast<int>(m_);
-  int global_max = 0;
-  std::vector<double> neg(m);
-  for (int64_t sidx = 0; sidx < n_samples; ++sidx) {
-    // ---- step 1: LUBs of the minimization problem over -Y, ref -ref
-    LubSet s1{m, {}, {}};
-    s1.U.assign(m, 0.0);
-    for (int j = 0; j < m; ++j) s1.U[j] = -ref_point[j];
-    s1.Z.assign(m * m, -kInf);
-    for (int j = 0; j < m; ++j) s1.Z[j * m + j] = s1.U[j];
+  parallel_for_samples(n_samples, [&](int64_t sidx) {
     const double* F = fronts + sidx * max_front * m;
-    for (int64_t p = 0; p < front_sizes[sidx]; ++p) {
-      for (int j = 0; j < m; ++j) neg[j] = -F[p * m + j];
-      lub_update(s1, neg.data());
-    }
-    // ---- step 2: second minimization over -U with reference +inf
-    LubSet s2{m, {}, {}};
-    s2.U.assign(m, kInf);
-    s2.Z.resize(m * m);
-    for (int j = 0; j < m; ++j) {
-      for (int c = 0; c < m; ++c) s2.Z[j * m + c] = ref_point[c];
-      s2.Z[j * m + j] = kInf;
-    }
-    const int k1 = s1.size();
-    for (int i = 0; i < k1; ++i) {
-      for (int j = 0; j < m; ++j) neg[j] = -s1.U[i * m + j];
-      lub_update(s2, neg.data());
-    }
     std::vector<double> lower, upper;
-    std::vector<double> ref_inf(m, kInf);
-    cell_bounds(s2, ref_inf.data(), clip_max, lower, upper);
+    nondominated_cells(F, front_sizes[sidx], m, ref_point, clip_max,
+                       lower, upper);
     const int cells = static_cast<int>(lower.size()) / m;
-    if (cells > max_cells) return -1;
-    global_max = std::max(global_max, cells);
+    if (cells > max_cells) {
+      out_cell_counts[sidx] = -1;  // overflow marker, reduced below
+      return;
+    }
     out_cell_counts[sidx] = cells;
     double* OL = out_lower + sidx * max_cells * m;
     double* OU = out_upper + sidx * max_cells * m;
@@ -276,6 +274,11 @@ int decompose_batch(const double* fronts, const int64_t* front_sizes,
     }
     std::memcpy(OL, lower.data(), lower.size() * sizeof(double));
     std::memcpy(OU, upper.data(), upper.size() * sizeof(double));
+  });
+  int global_max = 0;
+  for (int64_t sidx = 0; sidx < n_samples; ++sidx) {
+    if (out_cell_counts[sidx] < 0) return -1;
+    global_max = std::max(global_max, static_cast<int>(out_cell_counts[sidx]));
   }
   return global_max;
 }
