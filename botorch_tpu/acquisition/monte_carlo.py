@@ -290,6 +290,33 @@ def _draw_base_samples(q_total: int, m: int, num_samples: int, seed) -> Array:
     return z.reshape(num_samples, q_total, m)
 
 
+def draw_fresh_base_samples(
+    q_total: int, m: int, num_samples: int, key: Array, seed: int = 0
+) -> Array:
+    """qMC N(0,1) base samples re-randomized by `key` (jit-safe).
+
+    Owen-style digital-shift rerandomization: the Sobol direction table is
+    built at trace time, and the digital shift is XORed with fresh random
+    bits derived from `key`, so every BO iteration of a compiled loop gets
+    an independent low-discrepancy draw (the reference rebuilds sampler
+    base samples per acqf construction, `sampling/base.py`; a FIXED seed
+    across iterations biases successive argmaxes toward the same SAA
+    optimum). Within one acqf instance the draw stays fixed — the SAA
+    determinism the optimizer needs."""
+    from botorch_tpu.sampling.sobol import (
+        bits_to_unit,
+        draw_sobol_bits,
+        sobol_table,
+    )
+
+    sv, shift = sobol_table(q_total * m, scramble=True, seed=seed)
+    rnd = jax.random.bits(key, (q_total * m,), dtype=jnp.uint32)
+    bits = draw_sobol_bits(sv, shift ^ rnd, num_samples)
+    u = bits_to_unit(bits)
+    z = jax.scipy.special.ndtri(u).astype(jnp.float32)
+    return z.reshape(num_samples, q_total, m)
+
+
 def make_mc_acqf(
     cls,
     model: SingleTaskGP,

@@ -29,8 +29,8 @@ from flax import struct
 
 from botorch_tpu.acquisition import analytic as analytic_mod
 from botorch_tpu.acquisition.monte_carlo import (
+    draw_fresh_base_samples,
     qLogNoisyExpectedImprovement,
-    _draw_base_samples,
 )
 from botorch_tpu.fit import fit_gp
 from botorch_tpu.models.gp import make_gp
@@ -104,7 +104,7 @@ def _bo_step(
     """
     capacity, d = state.X.shape
     mask = jnp.arange(capacity) < state.n
-    k_fit, k_acq = jax.random.split(key)
+    k_fit, k_acq, k_base = jax.random.split(key, 3)
 
     model = make_gp(state.X, state.Y[:, None], mask=mask, kernel=kernel)
     if params0 is not None:
@@ -118,7 +118,9 @@ def _bo_step(
     )
     best_f = jnp.max(jnp.where(mask, state.Y, -jnp.inf))
     if acqf_name == "qLogNEI":
-        base = _draw_base_samples(capacity + q, 1, mc_samples, seed=17)
+        base = draw_fresh_base_samples(
+            capacity + q, 1, mc_samples, k_base, seed=17
+        )
         acqf = qLogNoisyExpectedImprovement(
             model=model,
             cache=model.train_chol(),

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from botorch_tpu.acquisition.monte_carlo import _draw_base_samples
+from botorch_tpu.acquisition.monte_carlo import draw_fresh_base_samples
 from botorch_tpu.acquisition.multi_objective import (
     _subset_masks,
     qLogNoisyExpectedHypervolumeImprovement,
@@ -94,7 +94,7 @@ def _mo_bo_step(
             "cells); m >= 3 needs host-side decompositions (make_qnehvi)"
         )
     mask = jnp.arange(capacity) < state.n
-    k_fit, k_acq = jax.random.split(key)
+    k_fit, k_acq, k_base = jax.random.split(key, 3)
 
     model = make_gp(state.X, state.Y, mask=mask, kernel=kernel)
     if params0 is not None:
@@ -105,7 +105,7 @@ def _mo_bo_step(
     )
 
     masks, signs = _subset_masks(q)
-    base = _draw_base_samples(capacity + q, m, mc_samples, seed=23)
+    base = draw_fresh_base_samples(capacity + q, m, mc_samples, k_base, seed=23)
     acqf = qLogNoisyExpectedHypervolumeImprovement(
         model=model,
         cache=model.train_chol(),
