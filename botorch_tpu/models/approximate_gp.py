@@ -42,19 +42,31 @@ _log_2pi = math.log(2.0 * math.pi)
 
 
 def greedy_variance_reduction(
-    X: Array, lengthscale: Array, num_inducing: int, kernel: str = "rbf"
+    X: Array,
+    lengthscale: Array,
+    num_inducing: int,
+    kernel: str = "rbf",
+    quality_scores: Optional[Array] = None,
 ) -> Array:
     """Pivoted-Cholesky selection of inducing points (reference
-    `inducing_point_allocators.py:231`): greedily pick the point with the
-    largest residual conditional variance. Returns selected rows of X."""
+    `inducing_point_allocators.py:231` `GreedyVarianceReduction` /
+    `_pivoted_cholesky_init :283`): greedily pick the point maximizing the
+    residual conditional variance, optionally weighted by `quality_scores²`
+    (the DPP diversity-quality decomposition of [moss2023ipa], reference
+    `:341-345`). Returns selected rows of X."""
     k = kernel_fn(kernel)
     n = X.shape[0]
     K_diag = jnp.ones((n,))  # stationary kernels: k(x,x) = 1
     m = min(num_inducing, n)
+    q2 = (
+        jnp.ones((n,))
+        if quality_scores is None
+        else jnp.square(quality_scores)
+    )
 
     def body(carry, _):
         resid, L_rows, i = carry
-        j = jnp.argmax(resid)
+        j = jnp.argmax(resid * q2)
         Kj = k(X, X[j][None, :], lengthscale)[:, 0]  # (n,)
         # subtract projections onto previously chosen pivots
         proj = jnp.einsum("kn,k->n", L_rows, L_rows[:, j])
@@ -67,6 +79,47 @@ def greedy_variance_reduction(
         body, (K_diag, jnp.zeros((m, n)), jnp.int32(0)), None, length=m
     )
     return X[idx]
+
+
+def expected_improvement_quality(
+    model, X: Array, maximize: bool = True
+) -> Array:
+    """Per-point EI quality scores against a conservative posterior-mean
+    baseline (reference `ExpectedImprovementQualityFunction`,
+    `inducing_point_allocators.py:188-227`)."""
+    from botorch_tpu.utils.probability import ndtr
+
+    post = model.posterior(X)
+    mean = post.mean[..., 0]
+    sigma = jnp.sqrt(jnp.maximum(post.variance[..., 0], 1e-12))
+    best_f = jnp.max(mean) if maximize else jnp.min(mean)
+    u = (mean - best_f) / sigma if maximize else -(mean - best_f) / sigma
+    phi = jnp.exp(-0.5 * u * u) / math.sqrt(2.0 * math.pi)
+    return sigma * (phi + u * ndtr(u))
+
+
+def greedy_improvement_reduction(
+    model,
+    X: Array,
+    lengthscale: Array,
+    num_inducing: int,
+    kernel: str = "rbf",
+    maximize: bool = True,
+) -> Array:
+    """Inducing points that are both diverse AND in promising regions per
+    the previous BO step's `model` (reference `GreedyImprovementReduction`,
+    `inducing_point_allocators.py:252-281`)."""
+    q = expected_improvement_quality(model, X, maximize=maximize)
+    return greedy_variance_reduction(
+        X, lengthscale, num_inducing, kernel=kernel, quality_scores=q
+    )
+
+
+# Reference class names for migrating users.
+GreedyVarianceReduction = greedy_variance_reduction
+GreedyImprovementReduction = greedy_improvement_reduction
+UnitQualityFunction = lambda X: jnp.ones((X.shape[0],))
+ExpectedImprovementQualityFunction = expected_improvement_quality
 
 
 class SVGP(struct.PyTreeNode):
@@ -191,9 +244,13 @@ def make_svgp(
     num_inducing: int = 128,
     kernel: str = "matern52",
     learn_inducing: bool = True,
+    inducing_points: Optional[Array] = None,
 ) -> SVGP:
     """Construct an SVGP with pivoted-Cholesky inducing initialization and
-    a Standardize outcome transform."""
+    a Standardize outcome transform. Pass `inducing_points` to supply a
+    custom allocation (e.g. `greedy_improvement_reduction` — the
+    reference's `inducing_point_allocator=` argument,
+    `approximate_gp.py:284`)."""
     if train_Y.ndim > 1:
         train_Y = train_Y[..., 0]
     n, d = train_X.shape
@@ -201,9 +258,12 @@ def make_svgp(
     scale = jnp.std(train_Y) + 1e-8
     Y_std = (train_Y - loc) / scale
     ls0 = priors_mod.dim_scaled_lognormal_lengthscale_prior(d).mode
-    Z = greedy_variance_reduction(
-        train_X, jnp.full((d,), ls0), num_inducing, kernel
-    )
+    if inducing_points is not None:
+        Z = jnp.asarray(inducing_points, train_X.dtype)
+    else:
+        Z = greedy_variance_reduction(
+            train_X, jnp.full((d,), ls0), num_inducing, kernel
+        )
     M = Z.shape[0]
     return SVGP(
         X=train_X,

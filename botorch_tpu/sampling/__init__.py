@@ -20,6 +20,7 @@ from botorch_tpu.sampling.qmc import (
 from botorch_tpu.sampling.samplers import (
     ForkedRNGSampler,
     IIDNormalSampler,
+    IndexSampler,
     ListSampler,
     PairwiseIIDNormalSampler,
     PairwiseSobolQMCNormalSampler,
@@ -40,6 +41,7 @@ __all__ = [
     "DAState",
     "ForkedRNGSampler",
     "IIDNormalSampler",
+    "IndexSampler",
     "ListSampler",
     "PairwiseIIDNormalSampler",
     "PairwiseSobolQMCNormalSampler",

@@ -94,6 +94,40 @@ class ForkedRNGSampler(struct.PyTreeNode):
         )
 
 
+class IndexSampler(struct.PyTreeNode):
+    """Ensemble index draws (reference `index_sampler.py:64`): for
+    discrete-ensemble posteriors (fully-Bayesian MCMC batches, ensemble
+    models) the base sample is an INDEX into the ensemble axis, not a
+    normal deviate. Sampling gathers the indexed components' means — the
+    reference's `EnsemblePosterior.rsample_from_base_samples` semantics
+    (`posteriors/ensemble.py:115-140`), where each ensemble member is a
+    point mass (deterministic models) or is represented by its mean.
+
+    The posterior's ensemble axis is its leading batch dim (how this
+    framework encodes `MCMC_DIM`); `weights` (optional, `(s,)` over the
+    ensemble) biases the draw like the reference's categorical weights.
+    """
+
+    sample_shape: tuple = struct.field(pytree_node=False, default=(128,))
+    seed: int = struct.field(pytree_node=False, default=0)
+    weights: Optional[Array] = None
+
+    def indices(self, ensemble_size: int) -> Array:
+        key = jax.random.PRNGKey(self.seed)
+        if self.weights is not None:
+            return jax.random.categorical(
+                key, jnp.log(self.weights), shape=self.sample_shape
+            )
+        return jax.random.randint(
+            key, self.sample_shape, 0, ensemble_size
+        )
+
+    def __call__(self, posterior) -> Array:
+        mean = posterior.mean  # (s, ..., q, m) — leading ensemble axis
+        idx = self.indices(mean.shape[0])
+        return jnp.take(mean, idx, axis=0)
+
+
 def _comparison_pairs(n: int, max_num_comparisons: Optional[int], seed: int):
     """Static comparison-pair index set: all C(n,2) pairs, optionally
     subsampled without replacement. Chosen once at trace time (shapes
