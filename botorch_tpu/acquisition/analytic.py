@@ -52,7 +52,7 @@ class AnalyticAcquisitionFunction(struct.PyTreeNode):
     """Shared machinery: marginal posterior moments at a single point."""
 
     model: SingleTaskGP
-    cache: tuple  # (L, alpha) from model.train_chol()
+    cache: tuple  # (L, alpha, Linv) from model.train_chol()
     maximize: bool = struct.field(pytree_node=False, default=True)
 
     def _mean_and_sigma(self, X: Array) -> tuple[Array, Array]:

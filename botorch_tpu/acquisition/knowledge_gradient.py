@@ -50,7 +50,7 @@ class qKnowledgeGradient(struct.PyTreeNode):
     cost-aware wrapper for the full MFKG."""
 
     model: SingleTaskGP
-    cache: tuple  # (L, alpha) over train data
+    cache: tuple  # (L, alpha, Linv) over train data
     base_samples: Array  # (nf, q) fantasy base draws
     current_value: Array = 0.0
     q: int = struct.field(pytree_node=False, default=1)

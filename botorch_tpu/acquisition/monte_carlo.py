@@ -90,7 +90,7 @@ class MCAcquisitionFunction(struct.PyTreeNode):
     """
 
     model: SingleTaskGP
-    cache: tuple  # (L, alpha) = model.train_chol()
+    cache: tuple  # (L, alpha, Linv) = model.train_chol()
     base_samples: Array
     objective: Callable = struct.field(pytree_node=False, default=identity_objective)
     constraints: tuple = struct.field(pytree_node=False, default=())

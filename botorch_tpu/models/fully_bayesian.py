@@ -37,8 +37,9 @@ import jax.numpy as jnp
 
 from botorch_tpu.models import priors as priors_mod
 from botorch_tpu.models.gp import GPParams, SingleTaskGP, make_gp
-from botorch_tpu.ops.chol import add_jitter, chol_logdet, solve_triangular
+from botorch_tpu.ops.chol import add_jitter
 from botorch_tpu.ops.kernels import matern52
+from botorch_tpu.ops.pallas_linalg import mvn_quad_logdet
 from botorch_tpu.sampling.nuts import run_nuts
 
 Array = jax.Array
@@ -112,9 +113,10 @@ def make_saas_potential(
         if mvec is not None:
             K = K * pair + (1.0 - pair) * jnp.eye(n, dtype=K.dtype)
             resid = resid * mvec
-        L = jnp.linalg.cholesky(add_jitter(K))
-        w = solve_triangular(L, resid[:, None])[:, 0]
-        loglik = -0.5 * (jnp.dot(w, w) + chol_logdet(L) + n_valid * _log_2pi)
+        # One fused Pallas factor+solve+logdet on TPU (chains batched on
+        # the lane axis via the op's vmap rule) — the leapfrog hot path.
+        quad, ld = mvn_quad_logdet(add_jitter(K), resid)
+        loglik = -0.5 * (quad + ld + n_valid * _log_2pi)
         return -(loglik + lp + log_jac)
 
     return potential, z_dim, infer_noise

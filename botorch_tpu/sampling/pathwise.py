@@ -119,7 +119,7 @@ def draw_matheron_paths(
     resid = (model.Y[:, 0] - p.mean)[:, None] - priorX - eps.T  # (n, P)
     if model.mask is not None:
         resid = resid * model.mask.astype(resid.dtype)[:, None]
-    L, _ = model.train_chol()
+    L = model.train_chol()[0]
     v = cholesky_solve(L[0], resid)  # (n, P)
     return MatheronPath(
         model=model, W=W, b=b, theta=theta, v=v.T, feature_scale=scale

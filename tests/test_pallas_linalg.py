@@ -1,0 +1,115 @@
+"""Tests for the fused batched MVN quad/logdet op (`ops/pallas_linalg`).
+
+On the CPU suite backend the op runs its jnp fallback — these tests pin
+the SEMANTICS (values, closed-form VJP, vmap composition). TPU-only
+parity of the Pallas kernel against the fallback is gated like
+`test_pallas_kernels.py`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botorch_tpu.ops.pallas_linalg import _qd_jnp, mvn_quad_logdet
+
+
+def _spd(B, n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(B, n, n)).astype(np.float32)
+    K = A @ A.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32)
+    r = rng.normal(size=(B, n)).astype(np.float32)
+    return jnp.asarray(K), jnp.asarray(r)
+
+
+def _reference(K, r):
+    L = jnp.linalg.cholesky(K)
+    w = jax.scipy.linalg.solve_triangular(L, r[..., None], lower=True)[..., 0]
+    quad = jnp.sum(w * w, -1)
+    ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+    return quad, ld
+
+
+def test_values_match_cholesky_reference():
+    K, r = _spd(7, 13)
+    q, ld = mvn_quad_logdet(K, r)
+    qr, ldr = _reference(K, r)
+    np.testing.assert_allclose(q, qr, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ld, ldr, rtol=1e-5, atol=1e-5)
+
+
+def test_leading_batch_dims_flattened():
+    K, r = _spd(6, 9)
+    K2 = K.reshape(2, 3, 9, 9)
+    r2 = r.reshape(2, 3, 9)
+    q, ld = mvn_quad_logdet(K2, r2)
+    assert q.shape == (2, 3) and ld.shape == (2, 3)
+    q1, ld1 = mvn_quad_logdet(K, r)
+    np.testing.assert_allclose(q.reshape(-1), q1, rtol=1e-6)
+
+
+def test_closed_form_vjp_matches_autodiff():
+    K, r = _spd(4, 8, seed=3)
+
+    def via_op(K, r):
+        q, ld = mvn_quad_logdet(K, r)
+        return jnp.sum(q + 0.7 * ld)
+
+    def via_chol(K, r):
+        q, ld = _reference(K, r)
+        return jnp.sum(q + 0.7 * ld)
+
+    gK_a, gr_a = jax.grad(via_op, argnums=(0, 1))(K, r)
+    gK_b, gr_b = jax.grad(via_chol, argnums=(0, 1))(K, r)
+    np.testing.assert_allclose(gK_a, gK_b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gr_a, gr_b, rtol=1e-4, atol=1e-5)
+
+
+def test_vmap_collapses_into_lane_batch():
+    # the NUTS / multi-restart pattern: vmap(value_and_grad(per_lane))
+    K, r = _spd(5, 6, seed=1)
+
+    def per_lane(K1, r1):
+        q, ld = mvn_quad_logdet(K1, r1)
+        return q + 0.5 * ld
+
+    v, (gK, gr) = jax.vmap(
+        jax.value_and_grad(per_lane, argnums=(0, 1))
+    )(K, r)
+    assert v.shape == (5,) and gK.shape == K.shape and gr.shape == r.shape
+    qr, ldr = _reference(K, r)
+    np.testing.assert_allclose(v, qr + 0.5 * ldr, rtol=1e-5, atol=1e-5)
+
+
+def test_residuals_are_solves():
+    K, r = _spd(3, 7, seed=2)
+    quad, ld, alpha, kinv = _qd_jnp(K, r)
+    # alpha = K^-1 r, Kinv = K^-1
+    np.testing.assert_allclose(
+        jnp.einsum("bij,bj->bi", K, alpha), r, rtol=1e-3, atol=1e-3
+    )
+    eye = jnp.broadcast_to(jnp.eye(7), (3, 7, 7))
+    np.testing.assert_allclose(
+        jnp.einsum("bij,bjk->bik", K, kinv), eye, rtol=1e-3, atol=1e-3
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas path is TPU-only"
+)
+def test_pallas_parity_with_fallback():
+    from botorch_tpu.ops.pallas_linalg import _qd_pallas
+
+    K, r = _spd(32, 24, seed=4)
+    q_p, ld_p, a_p, ki_p = _qd_pallas(K, r, 24)
+    q_j, ld_j, a_j, ki_j = _qd_jnp(K, r)
+    np.testing.assert_allclose(q_p, q_j, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ld_p, ld_j, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(a_p, a_j, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ki_p, ki_j, rtol=1e-3, atol=1e-4)
+
+
+if __name__ == "__main__":
+    # self-executing TPU parity check (conftest pins the suite to CPU)
+    test_pallas_parity_with_fallback()
+    print("pallas_linalg TPU parity OK")
