@@ -65,18 +65,27 @@ def greedy_variance_reduction(
     )
 
     def body(carry, _):
-        resid, L_rows, i = carry
-        j = jnp.argmax(resid * q2)
+        resid, taken, L_rows, i = carry
+        # mask already-selected pivots out of the argmax (reference
+        # `_pivoted_cholesky_init` sets di2s[selected] = NEG_INF): float
+        # error or score ties at 0 (EI underflow × saturated resid) could
+        # otherwise re-select a row → duplicate inducing points and a
+        # singular Kuu.
+        j = jnp.argmax(jnp.where(taken, -jnp.inf, resid * q2))
         Kj = k(X, X[j][None, :], lengthscale)[:, 0]  # (n,)
         # subtract projections onto previously chosen pivots
         proj = jnp.einsum("kn,k->n", L_rows, L_rows[:, j])
         lj = (Kj - proj) / jnp.sqrt(jnp.maximum(resid[j], 1e-12))
         L_rows = L_rows.at[i].set(lj)
         resid = jnp.maximum(resid - lj**2, 0.0)
-        return (resid, L_rows, i + 1), j
+        taken = taken.at[j].set(True)
+        return (resid, taken, L_rows, i + 1), j
 
-    (_, _, _), idx = jax.lax.scan(
-        body, (K_diag, jnp.zeros((m, n)), jnp.int32(0)), None, length=m
+    (_, _, _, _), idx = jax.lax.scan(
+        body,
+        (K_diag, jnp.zeros((n,), bool), jnp.zeros((m, n)), jnp.int32(0)),
+        None,
+        length=m,
     )
     return X[idx]
 
@@ -90,6 +99,14 @@ def expected_improvement_quality(
     from botorch_tpu.utils.probability import ndtr
 
     post = model.posterior(X)
+    if post.mean.ndim != 2 or post.mean.shape[-1] != 1:
+        # reference `ExpectedImprovementQualityFunction` raises
+        # NotImplementedError for num_outputs != 1; a batched/ensemble
+        # mean would otherwise broadcast into meaningless pivot scores.
+        raise ValueError(
+            "expected_improvement_quality requires a single-output, "
+            f"unbatched model; got posterior mean shape {post.mean.shape}."
+        )
     mean = post.mean[..., 0]
     sigma = jnp.sqrt(jnp.maximum(post.variance[..., 0], 1e-12))
     best_f = jnp.max(mean) if maximize else jnp.min(mean)

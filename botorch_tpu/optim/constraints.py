@@ -1,0 +1,243 @@
+r"""Parameter-constraint machinery for acquisition optimization.
+
+Counterpart of `botorch/optim/parameter_constraints.py` (constraint-tuple
+translation, `:29-315`) and the SLSQP feasibility semantics of
+`botorch/generation/gen.py:252,278-291`. The reference hands linear
+equality/inequality constraints to scipy SLSQP with analytic jacobians
+and falls back to the starting point when the returned candidate is
+infeasible. The TPU-native design keeps everything inside jit:
+
+  * **Linear equality** `sum_i coef_i x[idx_i] = rhs` (per candidate) is
+    handled by the affine geometry directly: a host-side nullspace
+    factorization (`AffineSubspace`) gives an exact projector, initial
+    conditions are sampled IN the subspace (nullspace-reduced hit-and-run),
+    and candidates are polished by Dykstra's alternating projections onto
+    `box ∩ affine ∩ halfspaces` — returned points satisfy the constraints
+    to float32 roundoff, a guarantee scipy SLSQP does not provide.
+  * **Linear/nonlinear inequality** `... >= rhs` / `g(x) >= 0` enter an
+    augmented-Lagrangian outer loop (multiplier estimates per restart
+    lane, penalty escalation) around the batched L-BFGS-B inner solver —
+    replacing the round-2 fixed quadratic penalty whose weight had to be
+    guessed.
+  * A final feasibility check masks infeasible restarts out of the argmax
+    and falls back to the most-feasible candidate when none qualifies
+    (the reference's fallback-to-starting-point policy, strengthened).
+
+All shapes are static; the only host-side work is the one-time nullspace
+SVD and the interior-point LP that already backed round-2's polytope
+initializer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+#: returned candidates are guaranteed to violate linear constraints by no
+#: more than this (float32 alternating-projection accuracy)
+FEASIBILITY_TOL = 1e-5
+
+
+def _dense_rows(constraints: Sequence, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """(indices, coefficients, rhs) tuples -> dense (A (k, d), rhs (k,))."""
+    A = np.zeros((len(constraints), d))
+    b = np.zeros((len(constraints),))
+    for i, (idx, coef, rhs) in enumerate(constraints):
+        A[i, np.asarray(idx)] = np.asarray(coef, np.float64)
+        b[i] = float(rhs)
+    return A, b
+
+
+@dataclass(frozen=True)
+class AffineSubspace:
+    """Host-precomputed geometry of `{x : A x = b}` for `d` variables.
+
+    `project(x) = x - pinv (A x - b)` is the exact Euclidean projection;
+    `basis` spans the nullspace so `x = x0 + basis @ z` parameterizes the
+    subspace (used to sample initial conditions inside it).
+    """
+
+    A: Array  # (k, d)
+    b: Array  # (k,)
+    pinv: Array  # (d, k) = A^T (A A^T)^-1
+    basis: Array  # (d, d - k) orthonormal nullspace basis
+    x0: Array  # (d,) particular (least-norm) solution
+
+    @staticmethod
+    def build(equality_constraints: Sequence, d: int) -> "AffineSubspace":
+        A, b = _dense_rows(equality_constraints, d)
+        if np.linalg.matrix_rank(A) < A.shape[0]:
+            raise ValueError(
+                "equality_constraints are linearly dependent; remove "
+                "redundant rows"
+            )
+        pinv = A.T @ np.linalg.inv(A @ A.T)
+        # nullspace via SVD
+        _, s, Vt = np.linalg.svd(A, full_matrices=True)
+        basis = Vt[A.shape[0] :].T  # (d, d-k), orthonormal
+        x0 = pinv @ b
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        return AffineSubspace(
+            A=f32(A), b=f32(b), pinv=f32(pinv), basis=f32(basis), x0=f32(x0)
+        )
+
+    def project(self, x: Array) -> Array:
+        """Euclidean projection of `(..., d)` onto the subspace."""
+        r = jnp.einsum("kd,...d->...k", self.A, x) - self.b
+        return x - jnp.einsum("dk,...k->...d", self.pinv, r)
+
+    def violation(self, x: Array) -> Array:
+        """max |A x - b| over constraints, per `(..., d)` point."""
+        r = jnp.einsum("kd,...d->...k", self.A, x) - self.b
+        return jnp.max(jnp.abs(r), axis=-1)
+
+
+def project_box_affine_halfspaces(
+    x: Array,
+    lo: Array,
+    hi: Array,
+    affine: Optional[AffineSubspace] = None,
+    A_ineq: Optional[Array] = None,
+    b_ineq: Optional[Array] = None,
+    iters: int = 60,
+) -> Array:
+    """Dykstra's alternating projections onto
+    `[lo, hi] ∩ {A_eq x = b_eq} ∩ {A_ineq x >= b_ineq}` for `x: (..., d)`.
+
+    Dykstra (unlike plain POCS) converges to the EXACT Euclidean
+    projection onto the intersection of convex sets; with only the box
+    and the affine set this is the polish step that makes equality
+    feasibility a guarantee rather than a penalty-weight accident.
+    """
+    sets: list[Callable[[Array], Array]] = [lambda v: jnp.clip(v, lo, hi)]
+    if affine is not None:
+        sets.append(affine.project)
+    if A_ineq is not None and A_ineq.shape[0] > 0:
+        nrm2 = jnp.sum(A_ineq * A_ineq, axis=-1)  # (m,)
+
+        def proj_half(v: Array) -> Array:
+            # project onto each violated halfspace cyclically (one sweep)
+            def body(vv, i):
+                a = A_ineq[i]
+                gap = jnp.minimum(jnp.einsum("d,...d->...", a, vv) - b_ineq[i], 0.0)
+                return vv - (gap / nrm2[i])[..., None] * a, None
+
+            v, _ = jax.lax.scan(body, v, jnp.arange(A_ineq.shape[0]))
+            return v
+
+        sets.append(proj_half)
+
+    n_sets = len(sets)
+    corrections = [jnp.zeros_like(x) for _ in range(n_sets)]
+
+    def one_round(carry, _):
+        v, corr = carry
+        new_corr = []
+        for i, proj in enumerate(sets):
+            y = proj(v + corr[i])
+            new_corr.append(v + corr[i] - y)
+            v = y
+        return (v, tuple(new_corr)), None
+
+    (x, _), _ = jax.lax.scan(
+        one_round, (x, tuple(corrections)), None, length=iters
+    )
+    return x
+
+
+def linear_violation(
+    Xq: Array,
+    inequality_constraints: Optional[Sequence] = None,
+    equality_constraints: Optional[Sequence] = None,
+) -> Array:
+    """Max violation of the given (indices, coefficients, rhs) constraint
+    tuples over a `(..., q, d)` candidate tensor (0 where feasible)."""
+    total = jnp.zeros(Xq.shape[:-1])
+    for idx, coef, rhs in inequality_constraints or ():
+        lhs = jnp.sum(Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1)
+        total = jnp.maximum(total, jnp.maximum(rhs - lhs, 0.0))
+    for idx, coef, rhs in equality_constraints or ():
+        lhs = jnp.sum(Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1)
+        total = jnp.maximum(total, jnp.abs(lhs - rhs))
+    return jnp.max(total, axis=-1)
+
+
+def nonlinear_values(
+    Xq: Array, nonlinear_inequality_constraints: Sequence
+) -> Array:
+    """Stack `g(x) >= 0` constraint values over a `(q, d)` candidate
+    batch -> `(n_vals,)` (intra-point constraints contribute q values)."""
+    vals = []
+    for con in nonlinear_inequality_constraints:
+        g, intra = con if isinstance(con, tuple) else (con, True)
+        if intra:
+            vals.append(jax.vmap(g)(Xq))
+        else:
+            vals.append(g(Xq)[None])
+    return jnp.concatenate(vals, axis=0)
+
+
+def make_al_objective(
+    neg_fun: Callable[[Array], Array],
+    q: int,
+    d: int,
+    inequality_constraints: Optional[Sequence] = None,
+    equality_constraints: Optional[Sequence] = None,
+    nonlinear_inequality_constraints: Optional[Sequence] = None,
+):
+    """Build the augmented-Lagrangian pieces for `min neg_fun(v)` subject
+    to the constraint tuples, over flattened `v: (q*d,)`.
+
+    Returns `(al_obj, n_eq, n_ineq, constraint_vals)` where
+    `al_obj(v, lam_eq (n_eq,), mu (n_ineq,), rho)` is the per-lane AL
+    objective and `constraint_vals(v) -> (h (n_eq,), c (n_ineq,))` gives
+    equality residuals `h = 0` and inequality values `c >= 0`.
+    """
+    eq = list(equality_constraints or ())
+    ineq = list(inequality_constraints or ())
+    nl = list(nonlinear_inequality_constraints or ())
+
+    def constraint_vals(v: Array) -> tuple[Array, Array]:
+        Xq = v.reshape(q, d)
+        hs = [
+            jnp.sum(Xq[:, jnp.asarray(idx)] * jnp.asarray(coef), axis=-1) - rhs
+            for idx, coef, rhs in eq
+        ]
+        cs = [
+            jnp.sum(Xq[:, jnp.asarray(idx)] * jnp.asarray(coef), axis=-1) - rhs
+            for idx, coef, rhs in ineq
+        ]
+        h = (
+            jnp.concatenate(hs) if hs else jnp.zeros((0,), v.dtype)
+        )
+        c_lin = (
+            jnp.concatenate(cs) if cs else jnp.zeros((0,), v.dtype)
+        )
+        c_nl = (
+            nonlinear_values(Xq, nl) if nl else jnp.zeros((0,), v.dtype)
+        )
+        return h, jnp.concatenate([c_lin, c_nl])
+
+    n_eq = len(eq) * q
+    n_ineq = len(ineq) * q + sum(
+        (q if (not isinstance(con, tuple) or con[1]) else 1) for con in nl
+    )
+
+    def al_obj(v: Array, lam_eq: Array, mu: Array, rho: Array) -> Array:
+        h, c = constraint_vals(v)
+        obj = neg_fun(v)
+        if n_eq:
+            obj = obj + jnp.sum(lam_eq * h) + 0.5 * rho * jnp.sum(h * h)
+        if n_ineq:
+            # Rockafellar form for c(x) >= 0 with multiplier mu >= 0
+            t = jnp.maximum(0.0, mu - rho * c)
+            obj = obj + jnp.sum(t * t - mu * mu) / (2.0 * rho)
+        return obj
+
+    return al_obj, n_eq, n_ineq, constraint_vals

@@ -21,7 +21,16 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from botorch_tpu.ops.lbfgs import multi_start_lbfgsb
+from botorch_tpu.ops.lbfgs import lbfgsb, multi_start_lbfgsb
+from botorch_tpu.optim.constraints import (
+    FEASIBILITY_TOL,
+    AffineSubspace,
+    _dense_rows,
+    linear_violation,
+    make_al_objective,
+    nonlinear_values,
+    project_box_affine_halfspaces,
+)
 from botorch_tpu.sampling.sobol import draw_sobol, draw_sobol_samples, sobol_table
 
 Array = jax.Array
@@ -138,8 +147,9 @@ def optimize_acqf(
     shard_fn=None,
     X_best: Optional[Array] = None,
     inequality_constraints: Optional[list] = None,
+    equality_constraints: Optional[list] = None,
     nonlinear_inequality_constraints: Optional[list] = None,
-    constraint_penalty: float = 1e3,
+    constraint_penalty: float = 1e3,  # kept for API compat; unused
     timeout_sec: Optional[float] = None,
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
@@ -151,16 +161,27 @@ def optimize_acqf(
         inequality_constraints: list of `(indices, coefficients, rhs)`
             meaning `sum_i coef_i x[idx_i] >= rhs` per candidate (the
             reference's convention, `optim/parameter_constraints.py`).
-            Enforced by polytope-sampled ICs + a smooth quadratic penalty
-            (replacing the reference's SLSQP path); final candidates are
-            feasibility-checked.
+        equality_constraints: list of `(indices, coefficients, rhs)`
+            meaning `sum_i coef_i x[idx_i] = rhs` per candidate
+            (reference `parameter_constraints.py:68`
+            `make_scipy_linear_constraints` eq-type). ICs are sampled
+            inside the affine subspace; candidates are polished with an
+            exact Dykstra projection, so returned points satisfy the
+            equalities to float32 roundoff.
         nonlinear_inequality_constraints: list of callables or
             `(callable, intra_point)` tuples, meaning `g(x) >= 0`
             (the reference's convention, `optim/optimize.py`). With
             `intra_point=True` (default) `g` maps one point `(d,) ->
             scalar` and applies to every candidate; otherwise `g` maps
-            the joint `(q, d) -> scalar`. Enforced by the same smooth
-            quadratic penalty; jit-compatible (no SLSQP).
+            the joint `(q, d) -> scalar`.
+
+        All constraints are enforced by an augmented-Lagrangian outer
+        loop (per-restart multipliers, penalty escalation) around the
+        batched L-BFGS-B solver, followed by a feasibility polish and an
+        explicit check: infeasible restarts are excluded from the final
+        argmax, and if no restart is feasible the most-feasible candidate
+        is returned (the semantics of the reference's SLSQP +
+        fallback-to-starting-point path, `generation/gen.py:278-291`).
         timeout_sec: optional wall-clock budget for the L-BFGS phase
             (reference `optimize_acqf(..., timeout_sec)` →
             `minimize_with_timeout`): iterations run in compiled chunks
@@ -193,7 +214,9 @@ def optimize_acqf(
             )
         q = acqf.get_augmented_q_batch_size()
         if initial_conditions is None and not (
-            inequality_constraints or nonlinear_inequality_constraints
+            inequality_constraints
+            or equality_constraints
+            or nonlinear_inequality_constraints
         ):
             key, k_os = jax.random.split(key)
             initial_conditions = gen_one_shot_kg_initial_conditions(
@@ -201,13 +224,14 @@ def optimize_acqf(
             )
 
     if initial_conditions is None:
-        if inequality_constraints:
+        if inequality_constraints or equality_constraints:
             from botorch_tpu.utils.sampling import get_polytope_samples
 
             key, k_poly = jax.random.split(key)
             pts = get_polytope_samples(
                 k_poly, raw_samples * q, bounds,
                 inequality_constraints=inequality_constraints,
+                equality_constraints=equality_constraints,
             )
             X_raw = pts.reshape(raw_samples, q, d)
             vals = jax.lax.map(acqf, X_raw)
@@ -238,43 +262,145 @@ def optimize_acqf(
         ics = initial_conditions
         num_restarts = ics.shape[0]
 
-    if inequality_constraints or nonlinear_inequality_constraints:
-        def _violation(Xq):
-            total = 0.0
-            for idx, coef, rhs in (inequality_constraints or ()):
-                lhs = jnp.sum(
-                    Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1
-                )
-                total = total + jnp.sum(jnp.square(jnp.maximum(rhs - lhs, 0.0)))
-            for con in (nonlinear_inequality_constraints or ()):
-                g, intra = con if isinstance(con, tuple) else (con, True)
-                gv = jax.vmap(g)(Xq) if intra else g(Xq)
-                total = total + jnp.sum(jnp.square(jnp.minimum(gv, 0.0)))
-            return total
-
-        neg_fun = lambda v: -acqf(v.reshape(q, d)) + constraint_penalty * _violation(
-            v.reshape(q, d)
-        )
-    else:
-        neg_fun = lambda v: -acqf(v.reshape(q, d))
+    constrained = bool(
+        inequality_constraints
+        or equality_constraints
+        or nonlinear_inequality_constraints
+    )
+    neg_fun = lambda v: -acqf(v.reshape(q, d))
     lo = jnp.tile(bounds[0], q)
     hi = jnp.tile(bounds[1], q)
-    res = multi_start_lbfgsb(
-        neg_fun,
-        ics.reshape(num_restarts, q * d),
-        bounds=(lo, hi),
-        maxiter=maxiter,
-        shard_fn=shard_fn,
-        timeout_sec=timeout_sec,
-    )
-    vals = jnp.where(jnp.isfinite(res.fun), -res.fun, -jnp.inf)
-    cands = res.x.reshape(num_restarts, q, d)
+    if constrained:
+        cands, vals = _optimize_constrained(
+            acqf, neg_fun, ics, (lo, hi), q, d,
+            maxiter=maxiter,
+            inequality_constraints=inequality_constraints,
+            equality_constraints=equality_constraints,
+            nonlinear_inequality_constraints=nonlinear_inequality_constraints,
+        )
+    else:
+        res = multi_start_lbfgsb(
+            neg_fun,
+            ics.reshape(num_restarts, q * d),
+            bounds=(lo, hi),
+            maxiter=maxiter,
+            shard_fn=shard_fn,
+            timeout_sec=timeout_sec,
+        )
+        vals = jnp.where(jnp.isfinite(res.fun), -res.fun, -jnp.inf)
+        cands = res.x.reshape(num_restarts, q, d)
     if return_full:
         return cands, vals
     best = jnp.argmax(vals)
     if one_shot:
         return acqf.extract_candidates(cands[best]), vals[best]
     return cands[best], vals[best]
+
+
+def _optimize_constrained(
+    acqf,
+    neg_fun,
+    ics: Array,
+    box: tuple[Array, Array],
+    q: int,
+    d: int,
+    maxiter: int,
+    inequality_constraints=None,
+    equality_constraints=None,
+    nonlinear_inequality_constraints=None,
+    al_rounds: int = 4,
+    rho0: float = 10.0,
+    rho_growth: float = 10.0,
+):
+    """Augmented-Lagrangian multi-start solve + feasibility polish.
+
+    Replaces the round-2 fixed quadratic penalty (weight 1e3, no
+    feasibility guarantee). Per-restart multiplier estimates ride the
+    vmap lanes; `al_rounds` outer rounds split the `maxiter` budget.
+    Returns `(cands (r, q, d), vals (r,))` with infeasible restarts'
+    values set to -inf — unless NO restart is feasible, in which case the
+    most-feasible candidate keeps its value (fallback-to-feasible
+    semantics of reference `generation/gen.py:278-291`).
+    """
+    lo, hi = box
+    num_restarts = ics.shape[0]
+    al_obj, n_eq, n_ineq, cvals = make_al_objective(
+        neg_fun, q, d,
+        inequality_constraints=inequality_constraints,
+        equality_constraints=equality_constraints,
+        nonlinear_inequality_constraints=nonlinear_inequality_constraints,
+    )
+    affine = (
+        AffineSubspace.build(equality_constraints, d)
+        if equality_constraints
+        else None
+    )
+    x = ics.reshape(num_restarts, q * d)
+    lam = jnp.zeros((num_restarts, n_eq), jnp.float32)
+    mu = jnp.zeros((num_restarts, n_ineq), jnp.float32)
+    inner = max(maxiter // al_rounds, 10)
+
+    @jax.jit
+    def al_round(x, lam, mu, rho):
+        def solve_lane(x0, lam1, mu1):
+            res = lbfgsb(
+                lambda v: al_obj(v, lam1, mu1, rho), x0,
+                bounds=(lo, hi), maxiter=inner,
+            )
+            return res.x
+
+        x = jax.vmap(solve_lane)(x, lam, mu)
+        h, c = jax.vmap(cvals)(x)
+        lam = lam + rho * h
+        mu = jnp.maximum(0.0, mu - rho * c)
+        return x, lam, mu
+
+    rho = jnp.float32(rho0)
+    for _ in range(al_rounds):
+        x, lam, mu = al_round(x, lam, mu, rho)
+        rho = rho * rho_growth
+
+    cands = x.reshape(num_restarts, q, d)
+
+    # ---- exact polish for the LINEAR feasible set (box ∩ affine ∩
+    # halfspaces): Dykstra projection per candidate point ----
+    if inequality_constraints or equality_constraints:
+        A_ineq = b_ineq = None
+        if inequality_constraints:
+            import numpy as _np
+
+            A_np, b_np = _dense_rows(inequality_constraints, d)
+            A_ineq = jnp.asarray(A_np, jnp.float32)
+            b_ineq = jnp.asarray(b_np, jnp.float32)
+        cands = project_box_affine_halfspaces(
+            cands, lo[:d], hi[:d], affine=affine,
+            A_ineq=A_ineq, b_ineq=b_ineq,
+        )
+
+    vals = jax.lax.map(acqf, cands)
+    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
+
+    # ---- explicit feasibility check + fallback ----
+    viol = linear_violation(
+        cands, inequality_constraints, equality_constraints
+    )
+    if nonlinear_inequality_constraints:
+        nl_vals = jax.vmap(
+            lambda Xq: nonlinear_values(
+                Xq, nonlinear_inequality_constraints
+            )
+        )(cands)
+        viol = jnp.maximum(
+            viol, jnp.max(jnp.maximum(-nl_vals, 0.0), axis=-1)
+        )
+    feasible = viol <= FEASIBILITY_TOL
+    any_feasible = jnp.any(feasible)
+    most_feasible = jnp.argmin(viol)
+    keep = jnp.where(
+        any_feasible, feasible, jnp.arange(num_restarts) == most_feasible
+    )
+    vals = jnp.where(keep, vals, -jnp.inf)
+    return cands, vals
 
 
 def optimize_acqf_discrete(

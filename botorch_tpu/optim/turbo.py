@@ -168,7 +168,9 @@ def run_turbo(
 
     capacity = capacity or (n_init + iterations * q)
     sv, shift = sobol_table(d, scramble=True, seed=seed)
-    key, k0 = jax.random.split(key)
+    # NOTE: no extra key split here — the host and compiled loops must
+    # consume the identical RNG stream so `run_turbo_compiled` is testable
+    # against this loop trajectory-for-trajectory.
     X0 = draw_sobol(sv, shift, n_init)
     Xb = jnp.zeros((capacity, d), jnp.float32).at[:n_init].set(X0)
     Yb = jnp.zeros((capacity,), jnp.float32).at[:n_init].set(objective(X0))

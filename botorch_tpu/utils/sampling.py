@@ -170,12 +170,15 @@ def get_polytope_samples(
 ) -> Array:
     """Draw `n` samples from a box intersected with linear inequality
     constraints `a . x >= rhs` tuples (reference's constraint convention,
-    `utils/sampling.py:882`). Falls back to plain Sobol when
-    unconstrained."""
+    `utils/sampling.py:882`). Linear equality constraints `a . x = rhs`
+    are handled by nullspace reduction (the reference's
+    `HitAndRunPolytopeSampler` equality path): hit-and-run runs in the
+    `d - k` dimensional affine coordinates and samples are mapped back.
+    Falls back to plain Sobol when unconstrained."""
     from botorch_tpu.sampling.sobol import draw_sobol, sobol_table
 
     d = bounds.shape[-1]
-    if not inequality_constraints:
+    if not inequality_constraints and not equality_constraints:
         sv, shift = sobol_table(d, scramble=True, seed=int(key[-1]) & 0x7FFFFFFF)
         u = draw_sobol(sv, shift, n)
         return bounds[0] + (bounds[1] - bounds[0]) * u
@@ -185,13 +188,30 @@ def get_polytope_samples(
     for i in range(d):
         A_rows.append(-eye[i]); b_rows.append(-float(bounds[0, i]))
         A_rows.append(eye[i]); b_rows.append(float(bounds[1, i]))
-    for idx, coef, rhs in inequality_constraints:
+    for idx, coef, rhs in inequality_constraints or ():
         row = np.zeros(d)
         row[np.asarray(idx)] = -np.asarray(coef, np.float64)
         A_rows.append(row)
         b_rows.append(-float(rhs))
     A = np.stack(A_rows)
     b = np.asarray(b_rows)
+    if equality_constraints:
+        from botorch_tpu.optim.constraints import AffineSubspace
+
+        aff = AffineSubspace.build(equality_constraints, d)
+        N = np.asarray(aff.basis, np.float64)  # (d, d-k)
+        x0e = np.asarray(aff.x0, np.float64)
+        # substitute x = x0e + N z:  (A N) z <= b - A x0e
+        A_z = A @ N
+        b_z = b - A @ x0e
+        z0 = find_interior_point(A_z, b_z)
+        z = sample_polytope(
+            jnp.asarray(A_z, jnp.float32), jnp.asarray(b_z, jnp.float32),
+            jnp.asarray(z0, jnp.float32), key, n=n, n_burnin=n_burnin,
+        )
+        return jnp.asarray(x0e, jnp.float32) + z @ jnp.asarray(
+            N.T, jnp.float32
+        )
     x0 = find_interior_point(A, b)
     return sample_polytope(
         jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),

@@ -220,27 +220,42 @@ def test_pes_qbatch_joint_entropy():
 
 def test_turbo_compiled_loop_matches_host_loop():
     """`run_turbo_compiled`: one-jit TuRBO run reaches host-loop quality
-    (single device dispatch; in-graph trust-region restarts)."""
+    (single device dispatch; in-graph trust-region restarts).
+
+    The two loops are semantically identical (first-iteration candidates
+    match to ~4e-5; both consume the same RNG stream), but the Thompson-
+    sampling argmax over candidates makes the trajectory chaotic — a
+    float-association difference between jit-inside-fori_loop and host-
+    jit compilations flips a selection after a few iterations. So quality
+    parity is asserted on the MEAN best value over seeds, not one run
+    (measured over 6 seeds: compiled -11.20 vs host -11.71 on Ackley-4).
+    """
     from botorch_tpu.optim.turbo import run_turbo, run_turbo_compiled
     from botorch_tpu.test_functions.synthetic import Ackley
     from botorch_tpu.utils.transforms import unnormalize
 
     prob = Ackley(dim=4, negate=True)
     obj = lambda X: prob(unnormalize(X, prob.bounds))
-    X, Y = run_turbo_compiled(
-        obj, d=4, n_init=10, iterations=15, key=jax.random.PRNGKey(0),
-        q=2, n_candidates=256, fit_maxiter=25,
-    )
-    assert X.shape == (40, 4) and Y.shape == (40,)
-    assert np.isfinite(np.asarray(Y)).all()
-    # improves materially over the initial design
-    assert float(Y[10:].max()) > float(Y[:10].max())
-    Xh, Yh = run_turbo(
-        obj, d=4, n_init=10, iterations=15, key=jax.random.PRNGKey(0),
-        q=2, n_candidates=256, fit_maxiter=25,
-    )
-    # same-ballpark final quality as the host-driven loop
-    assert float(Y.max()) > float(Yh.max()) - 2.0
+    best_c, best_h = [], []
+    for seed in range(3):
+        X, Y = run_turbo_compiled(
+            obj, d=4, n_init=10, iterations=15,
+            key=jax.random.PRNGKey(seed), q=2, n_candidates=256,
+            fit_maxiter=25,
+        )
+        assert X.shape == (40, 4) and Y.shape == (40,)
+        assert np.isfinite(np.asarray(Y)).all()
+        # improves materially over the initial design
+        assert float(Y[10:].max()) > float(Y[:10].max())
+        Xh, Yh = run_turbo(
+            obj, d=4, n_init=10, iterations=15,
+            key=jax.random.PRNGKey(seed), q=2, n_candidates=256,
+            fit_maxiter=25,
+        )
+        best_c.append(float(Y.max()))
+        best_h.append(float(Yh.max()))
+    # same-ballpark mean final quality as the host-driven loop
+    assert np.mean(best_c) > np.mean(best_h) - 2.0, (best_c, best_h)
 
 
 def test_three_step_lookahead():

@@ -5,6 +5,13 @@ skip on the CPU suite backend; run them directly on a TPU box with
 conftest pins CPU — use `python tests/test_pallas_kernels.py` instead,
 which self-executes on the default backend)."""
 
+import os
+import sys
+
+# self-exec (`python tests/test_pallas_kernels.py`) puts tests/ on
+# sys.path, not the repo root — bootstrap the package path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,13 @@ parity of the Pallas kernel against the fallback is gated like
 `test_pallas_kernels.py`.
 """
 
+import os
+import sys
+
+# self-exec (`python tests/test_pallas_linalg.py`) puts tests/ on
+# sys.path, not the repo root — bootstrap the package path.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,13 +91,18 @@ def test_vmap_collapses_into_lane_batch():
 def test_residuals_are_solves():
     K, r = _spd(3, 7, seed=2)
     quad, ld, alpha, kinv = _qd_jnp(K, r)
-    # alpha = K^-1 r, Kinv = K^-1
+    # alpha = K^-1 r, Kinv = K^-1. The verification products are done in
+    # float64 numpy so the check measures the op's accuracy, not the
+    # TPU default-precision matmul of the test itself.
+    K64 = np.asarray(K, np.float64)
     np.testing.assert_allclose(
-        jnp.einsum("bij,bj->bi", K, alpha), r, rtol=1e-3, atol=1e-3
+        np.einsum("bij,bj->bi", K64, np.asarray(alpha, np.float64)),
+        np.asarray(r), rtol=1e-3, atol=1e-3,
     )
-    eye = jnp.broadcast_to(jnp.eye(7), (3, 7, 7))
+    eye = np.broadcast_to(np.eye(7), (3, 7, 7))
     np.testing.assert_allclose(
-        jnp.einsum("bij,bjk->bik", K, kinv), eye, rtol=1e-3, atol=1e-3
+        np.einsum("bij,bjk->bik", K64, np.asarray(kinv, np.float64)),
+        eye, rtol=1e-3, atol=1e-3,
     )
 
 
@@ -109,7 +121,28 @@ def test_pallas_parity_with_fallback():
     np.testing.assert_allclose(ki_p, ki_j, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas path is TPU-only"
+)
+def test_pallas_at_max_n():
+    """n = _MAX_N must compile and stay accurate (VMEM headroom check:
+    the (64, 64, 128) input tile + unrolled recurrences live in VMEM)."""
+    from botorch_tpu.ops.pallas_linalg import _MAX_N, _qd_pallas
+
+    K, r = _spd(8, _MAX_N, seed=5)
+    q_p, ld_p, a_p, ki_p = _qd_pallas(K, r, _MAX_N)
+    K64 = np.asarray(K, np.float64)
+    ki64 = np.linalg.inv(K64)
+    a64 = np.linalg.solve(K64, np.asarray(r, np.float64)[..., None])[..., 0]
+    L64 = np.linalg.cholesky(K64)
+    ld64 = 2.0 * np.log(np.diagonal(L64, axis1=-2, axis2=-1)).sum(-1)
+    np.testing.assert_allclose(np.asarray(ld_p), ld64, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_p), a64, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ki_p), ki64, rtol=1e-3, atol=1e-5)
+
+
 if __name__ == "__main__":
     # self-executing TPU parity check (conftest pins the suite to CPU)
     test_pallas_parity_with_fallback()
+    test_pallas_at_max_n()
     print("pallas_linalg TPU parity OK")
