@@ -10,7 +10,7 @@ Public API re-exports (counterpart of `botorch/__init__.py:68`).
 
 __version__ = "0.1.0"
 
-from botorch_tpu.fit import fit_gp
+from botorch_tpu.fit import fit_gp, fit_transformed_gp
 from botorch_tpu.models.gp import SingleTaskGP, make_gp
 from botorch_tpu.optim.optimize import (
     gen_batch_initial_conditions,
@@ -22,6 +22,7 @@ from botorch_tpu.optim.optimize import (
 __all__ = [
     "SingleTaskGP",
     "fit_gp",
+    "fit_transformed_gp",
     "gen_batch_initial_conditions",
     "initialize_q_batch",
     "make_gp",

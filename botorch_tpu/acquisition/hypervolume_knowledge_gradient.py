@@ -11,8 +11,9 @@ sets (nf * q_inner)]`. Forward: draw `nf` fixed fantasy observations at
 fantasy `i` by the 2-d hypervolume of the fantasy-model posterior means at
 its own solution set, and average. The hypervolume is differentiable:
 the sorted-staircase sum for m = 2
-(`utils/multi_objective.hypervolume_2d`) and exact subset
-inclusion-exclusion for m >= 3 (`hypervolume_incl_excl`), so the whole
+(`utils/multi_objective.hypervolume_2d`) and exact differentiable
+Lacour-cell HV for m >= 3 (`box_decomposition_jax.hypervolume_cells`,
+polynomial in the front size), so the whole
 one-shot objective optimizes with the standard multi-start L-BFGS.
 """
 
@@ -108,7 +109,14 @@ class qHypervolumeKnowledgeGradient(struct.PyTreeNode):
         if n_out == 2:
             hvs = hypervolume_2d(means, self.ref_point)  # (nf,)
         else:
-            hvs = hypervolume_incl_excl(means, self.ref_point)
+            # polynomial differentiable HV via padded Lacour cells —
+            # replaces the O(2^qi) inclusion-exclusion, so qi / |front|
+            # up to ~hundreds is fine (round-2 weakness #5)
+            from botorch_tpu.utils.box_decomposition_jax import (
+                hypervolume_cells_batch,
+            )
+
+            hvs = hypervolume_cells_batch(means, self.ref_point)
         return jnp.mean(hvs) - self.current_hv
 
 

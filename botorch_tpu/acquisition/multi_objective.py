@@ -204,10 +204,21 @@ class qNoisyExpectedHypervolumeImprovement(MCAcquisitionFunction):
                 clip_max=CLIP_MAX,
             )
         else:
-            raise ValueError(
-                "qNEHVI with m >= 3 requires construction-time cells "
-                "(use make_qnehvi)."
+            # m >= 3 in-graph: per-MC-sample padded Lacour decomposition
+            # (jit-compatible; lifts the round-2 m == 2 restriction of
+            # the fully-compiled MO loop)
+            from botorch_tpu.utils.box_decomposition_jax import (
+                nondominated_hypercell_bounds as _nd_cells,
             )
+
+            ref_b = jnp.broadcast_to(self.ref_point, (m,))
+            lead = base_samples.shape[:-2]
+            flat = base_samples.reshape(-1, *base_samples.shape[-2:])
+            lo, up = jax.vmap(
+                lambda y: _nd_cells(y, ref_b, clip_max=CLIP_MAX)
+            )(flat)
+            lo = lo.reshape(*lead, *lo.shape[-2:])
+            up = up.reshape(*lead, *up.shape[-2:])
         return _hvi_from_cells(
             cand_samples, lo, up, self.masks, self.signs,
             smooth_tau=self.smooth_tau,

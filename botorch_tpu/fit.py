@@ -194,3 +194,86 @@ def fit_gp_with_timeout(
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
     return model.replace(params=unravel(res.x[best]))
+
+
+def fit_transformed_gp(
+    tmodel,
+    key: Optional[Array] = None,
+    num_restarts: int = 8,
+    maxiter: int = 100,
+    X_raw: Optional[Array] = None,
+    raw_warp_bound: float = 4.0,
+):
+    """Jointly MAP-fit GP hyperparameters AND the learnable input-
+    transform parameters of a `TransformedModel` (e.g. `Warp.raw_a/raw_b`
+    with their LogNormal(0, 0.75) priors).
+
+    Counterpart of the reference's joint optimization of `Warp`'s
+    registered parameters inside `fit_gpytorch_mll`
+    (`models/transforms/input.py:922-1008`: the Kumaraswamy
+    concentrations are `nn.Parameter`s with priors, so the MLL closure
+    optimizes them together with the kernel hyperparameters). Round 2
+    had the Warp class but never optimized it; this closes that gap.
+
+    Args:
+        tmodel: `TransformedModel` whose `input_transform` is a learnable
+            transform pytree exposing `transform(X)` and `log_prior()`
+            (a `Warp`, or a chain whose leaves are such). The inner
+            model's `X` must hold TRANSFORMED inputs (the
+            `TransformedModel` convention).
+        X_raw: the untransformed training inputs. Defaults to
+            `input_transform.untransform(model.X)` (exact for Warp).
+        raw_warp_bound: box bound on the transform's raw parameters
+            (`exp(±4)` spans far beyond the prior's mass).
+
+    Returns:
+        A new `TransformedModel` with fitted GP params, fitted transform,
+        and the inner model's train inputs re-warped accordingly.
+    """
+    from botorch_tpu.models.transforms import TransformedModel
+
+    warp = tmodel.input_transform
+    base = tmodel.model
+    if warp is None:
+        raise ValueError("tmodel has no input_transform to fit")
+    if X_raw is None:
+        X_raw = warp.untransform(base.X)
+
+    flat0, unravel = ravel_pytree((base.params, warp))
+    dtype = flat0.dtype
+
+    def obj(v: Array) -> Array:
+        p, w = unravel(v)
+        m = base.replace(X=w.transform(X_raw))
+        return m.map_objective(p) - w.log_prior()
+
+    starts = [flat0]
+    if num_restarts > 1:
+        k_p, k_w = jax.random.split(key if key is not None else jax.random.PRNGKey(0))
+        sampled = sample_params_from_priors(k_p, base, num_restarts - 1)
+        w_leaves, w_def = jax.tree_util.tree_flatten(warp)
+        for i in range(num_restarts - 1):
+            p_i = jax.tree_util.tree_map(lambda a: a[i], sampled)
+            k_w, k_i = jax.random.split(k_w)
+            leaves_i = [
+                0.75 * jax.random.normal(jax.random.fold_in(k_i, j), l.shape)
+                for j, l in enumerate(w_leaves)
+            ]
+            w_i = jax.tree_util.tree_unflatten(w_def, leaves_i)
+            starts.append(ravel_pytree((p_i, w_i))[0])
+    x0 = jnp.stack(starts).astype(dtype)
+
+    lo_p, hi_p = param_bounds(base)
+    lo_w = jax.tree_util.tree_map(lambda a: jnp.full_like(a, -raw_warp_bound), warp)
+    hi_w = jax.tree_util.tree_map(lambda a: jnp.full_like(a, raw_warp_bound), warp)
+    lo = ravel_pytree((lo_p, lo_w))[0].astype(dtype)
+    hi = ravel_pytree((hi_p, hi_w))[0].astype(dtype)
+
+    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter)
+    fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
+    best = jnp.argmin(fun)
+    p_best, w_best = unravel(res.x[best])
+    return TransformedModel(
+        model=base.replace(params=p_best, X=w_best.transform(X_raw)),
+        input_transform=w_best,
+    )

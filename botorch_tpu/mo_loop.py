@@ -88,11 +88,10 @@ def _mo_bo_step(
     Shapes are independent of `state.n` — compiles once per config."""
     capacity, d = state.X.shape
     m = state.Y.shape[-1]
-    if m != 2:
-        raise ValueError(
-            "the compiled MO loop requires m == 2 (in-graph staircase "
-            "cells); m >= 3 needs host-side decompositions (make_qnehvi)"
-        )
+    # m == 2 uses the in-graph staircase cells; m >= 3 the padded Lacour
+    # decomposition (`utils/box_decomposition_jax`) — both fully inside
+    # jit. The m >= 3 cell construction scales O(capacity * |U|) per MC
+    # sample, so keep capacities moderate (hundreds) there.
     mask = jnp.arange(capacity) < state.n
     k_fit, k_acq, k_base = jax.random.split(key, 3)
 

@@ -300,6 +300,12 @@ class SingleTaskGP(struct.PyTreeNode):
             mean = p.mean[..., None, None] + jnp.matmul(
                 jnp.swapaxes(Ks, -1, -2), alpha[..., out, :, None], precision=hp
             )
+            # Accuracy note (PRECISION.md): the explicit-Linv matmul is
+            # faster on the MXU but less backward-stable than a per-query
+            # triangular solve for ill-conditioned factors. Within the
+            # default noise-floor regime (cond(K) ≲ 1e5) the measured
+            # posterior drift vs f64 is ≤ 2e-4; for near-interpolation
+            # problems use `settings.enable_x64()` + f64 models.
             if Linv is not None:
                 v = jnp.matmul(Linv[..., out, :, :], Ks, precision=hp)
             else:
@@ -416,6 +422,7 @@ def make_gp(
     params: Optional[GPParams] = None,
     mask: Optional[Array] = None,
     priors: str = "lognormal",
+    dtype=None,
 ) -> SingleTaskGP:
     """Construct a `SingleTaskGP` with a baked-in Standardize outcome
     transform (`gp_regression.py:166-169`).
@@ -424,7 +431,24 @@ def make_gp(
         train_X: `(n, d)` inputs.
         train_Y: `(n, m)` (or `(n,)`) observations in original units.
         train_Yvar: optional `(n, m)` observation noise (original units^2).
+        dtype: optional compute dtype for the whole model stack. The
+            default is float32 (TPU-native); pass `jnp.float64` (after
+            `botorch_tpu.settings.enable_x64()`) to run the
+            kernel/Cholesky/MLL/posterior pipeline in double precision —
+            the reference is f64-first (`models/gpytorch.py:128-133`
+            warns on f32), and this is the opt-in parity mode for
+            ill-conditioned problems (see PRECISION.md for the measured
+            f32-vs-f64 drift study).
     """
+    if dtype is not None:
+        train_X = jnp.asarray(train_X, dtype)
+        train_Y = jnp.asarray(train_Y, dtype)
+        if train_Yvar is not None:
+            train_Yvar = jnp.asarray(train_Yvar, dtype)
+        if params is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), params
+            )
     if train_Y.ndim == 1:
         train_Y = train_Y[:, None]
     n, m = train_Y.shape
@@ -452,6 +476,10 @@ def make_gp(
         params = default_init_params(
             d, m, use_outputscale, kernel=kernel, priors=priors
         )
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dtype), params
+            )
     return SingleTaskGP(
         X=train_X,
         Y=Y_std,

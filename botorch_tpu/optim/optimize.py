@@ -636,9 +636,10 @@ def gen_one_shot_hvkg_initial_conditions(
 
     model = acqf.model
     ref_point = acqf.ref_point
-    from botorch_tpu.utils.multi_objective import hypervolume_2d, hypervolume_incl_excl
+    from botorch_tpu.utils.box_decomposition_jax import hypervolume_cells
+    from botorch_tpu.utils.multi_objective import hypervolume_2d
 
-    hv_fn = hypervolume_2d if ref_point.shape[-1] == 2 else hypervolume_incl_excl
+    hv_fn = hypervolume_2d if ref_point.shape[-1] == 2 else hypervolume_cells
 
     def hv_value(X_sol: Array) -> Array:  # (qi, d) -> scalar
         mu = model.posterior(X_sol).mean  # (qi, m)

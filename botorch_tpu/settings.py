@@ -45,3 +45,21 @@ class propagate_grads(_Flag):
     """Allow gradients through train-data caches (fantasization paths)."""
 
     _state = False
+
+
+def enable_x64(enable: bool = True) -> None:
+    """Opt into double-precision mode (reference parity: BoTorch is
+    float64-first, `models/gpytorch.py:128-133`; this framework is
+    float32-first because TPUs execute f64 in software).
+
+    Flips JAX's global x64 flag; combine with `make_gp(..., dtype=
+    jnp.float64)` to run the kernel/Cholesky/MLL/posterior stack in
+    double precision. Call before building models — already-compiled
+    float32 programs are unaffected (dtype is part of the jit cache key).
+    The measured f32+jitter vs f64 posterior drift across condition
+    numbers 1e6-1e12 is documented in PRECISION.md; f32 remains the
+    default and the benchmarked configuration.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", bool(enable))

@@ -397,3 +397,48 @@ def test_turbo_candidates_with_svgp():
     w = ls / jnp.exp(jnp.mean(jnp.log(ls)))
     center = X[int(jnp.argmax(Y))]
     assert bool((jnp.abs(cand - center) <= 0.5 * st.length * w + 1e-6).all())
+
+
+def test_k4_lookahead_optimized_end_to_end():
+    """K=4 scenario tree optimized end-to-end (the round-2 gap was depth
+    > 3): its optimized value must dominate the K=3 tree's (more
+    adaptivity cannot hurt, up to optimizer slack), and the k >= 4
+    warmstart helper must produce valid ICs."""
+    from botorch_tpu.acquisition.multi_step_lookahead import make_k_step
+    from botorch_tpu.optim.optimize import optimize_acqf, warmstart_multistep
+
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.uniform(size=(10, 2)), jnp.float32)
+    Y = jnp.sin(3 * X[:, :1]) + 0.05 * jnp.asarray(
+        rng.normal(size=(10, 1)), jnp.float32
+    )
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    best = float(Y.max())
+    ub = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+
+    k4 = make_k_step(model, batch_sizes=(1, 1, 1, 1),
+                     num_fantasies=(3, 2, 2), best_f=best)
+    n4 = k4.get_augmented_q_batch_size()
+    full4, v4 = optimize_acqf(
+        k4, ub, q=n4, num_restarts=4, raw_samples=16,
+        key=jax.random.PRNGKey(1), maxiter=30, return_full=True,
+    )
+    k3 = make_k_step(model, batch_sizes=(1, 1, 1), num_fantasies=(3, 2),
+                     best_f=best)
+    _, v3 = optimize_acqf(
+        k3, ub, q=k3.get_augmented_q_batch_size(), num_restarts=4,
+        raw_samples=16, key=jax.random.PRNGKey(1), maxiter=30,
+    )
+    assert float(jnp.max(v4)) >= float(v3) - 0.05
+    # warmstart at k=4: perturbs the previous round's trees into valid ICs
+    ics = warmstart_multistep(
+        k4, ub, num_restarts=3, raw_samples=6, full_optimizer=full4,
+        key=jax.random.PRNGKey(2),
+    )
+    assert ics.shape == (3, n4, 2)
+    assert np.isfinite(np.asarray(ics)).all()
+    assert (np.asarray(ics) >= -1e-6).all() and (np.asarray(ics) <= 1 + 1e-6).all()
+    # extracted actual candidate is a single point in bounds
+    cand = k4.extract_candidates(full4[jnp.argmax(v4)])
+    assert cand.shape == (1, 2)

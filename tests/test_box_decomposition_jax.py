@@ -1,0 +1,186 @@
+"""Padded in-graph Lacour box decompositions (m >= 3 under jit) —
+round-3 lift of the compiled MO stack's m == 2 limit.
+
+Parity anchors: the host numpy Lacour implementation
+(`utils/multi_objective.py:166-258`, itself value-parity-tested against
+the reference's `FastNondominatedPartitioning`) and the C++ batch engine
+(`csrc/box_decomposition.cpp`) when built.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from botorch_tpu.utils.box_decomposition_jax import (
+    dominated_hypercell_bounds,
+    hypervolume_cells,
+    nondominated_hypercell_bounds,
+)
+from botorch_tpu.utils.multi_objective import (
+    dominated_hypervolume_np,
+    is_non_dominated,
+    nondominated_hypercell_bounds_np,
+)
+
+
+def _front(n, m, seed):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(size=(n, m)).astype(np.float32)
+
+
+@pytest.mark.parametrize("m", [2, 3, 4])
+@pytest.mark.parametrize("n", [1, 7, 25])
+def test_hypervolume_cells_matches_host(m, n):
+    Y = _front(n, m, seed=n * 10 + m)
+    ref = np.zeros(m, np.float32)
+    nd = np.asarray(is_non_dominated(jnp.asarray(Y)))
+    hv_np = dominated_hypervolume_np(Y[nd], ref)
+    hv_jax = float(hypervolume_cells(jnp.asarray(Y), jnp.asarray(ref)))
+    np.testing.assert_allclose(hv_jax, hv_np, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("m", [3, 4])
+def test_nondominated_cells_match_host_volume(m):
+    Y = _front(12, m, seed=m)
+    ref = np.zeros(m, np.float32)
+    nd = np.asarray(is_non_dominated(jnp.asarray(Y)))
+    lo_np, up_np = nondominated_hypercell_bounds_np(Y[nd], ref, clip_max=2.0)
+    lo_j, up_j = nondominated_hypercell_bounds(
+        jnp.asarray(Y), jnp.asarray(ref), clip_max=2.0
+    )
+    # compare total clipped volume inside the unit box (cell layouts may
+    # legitimately differ; the covered region may not)
+    def vol(lo, up):
+        lo = np.clip(np.asarray(lo, np.float64), 0.0, 1.0)
+        up = np.clip(np.asarray(up, np.float64), 0.0, 1.0)
+        return np.prod(np.maximum(up - lo, 0.0), -1).sum()
+
+    np.testing.assert_allclose(vol(lo_j, up_j), vol(lo_np, up_np), rtol=1e-5)
+
+
+def test_padded_and_masked_rows_are_inert():
+    Y = _front(9, 3, seed=5)
+    ref = np.zeros(3, np.float32)
+    hv0 = float(hypervolume_cells(jnp.asarray(Y), jnp.asarray(ref)))
+    # append garbage rows masked out by `valid`
+    Ypad = jnp.concatenate(
+        [jnp.asarray(Y), jnp.full((4, 3), 0.9, jnp.float32)], axis=0
+    )
+    valid = jnp.arange(13) < 9
+    hv1 = float(hypervolume_cells(Ypad, jnp.asarray(ref), valid=valid))
+    np.testing.assert_allclose(hv1, hv0, rtol=1e-6)
+    # dominated / below-ref rows are also inert unmasked
+    Ybad = jnp.concatenate(
+        [jnp.asarray(Y), jnp.full((2, 3), -1.0, jnp.float32)], axis=0
+    )
+    hv2 = float(hypervolume_cells(Ybad, jnp.asarray(ref)))
+    np.testing.assert_allclose(hv2, hv0, rtol=1e-6)
+
+
+def test_hypervolume_cells_gradients():
+    """Gradient parity with central differences at a non-degenerate
+    front point (the HV is piecewise-smooth in the front coordinates)."""
+    Y = jnp.asarray(
+        [[0.8, 0.2, 0.5], [0.3, 0.7, 0.6], [0.5, 0.5, 0.9]], jnp.float32
+    )
+    ref = jnp.zeros(3)
+    f = lambda y: hypervolume_cells(y, ref)
+    g = jax.grad(f)(Y)
+    assert np.isfinite(np.asarray(g)).all()
+    eps = 1e-3
+    for i, j in [(0, 0), (1, 1), (2, 2)]:
+        fd = (f(Y.at[i, j].add(eps)) - f(Y.at[i, j].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i, j]), float(fd), atol=2e-2)
+    # every front point contributes volume -> some positive gradient
+    assert (np.asarray(g).reshape(3, -1).max(-1) > 0).all()
+
+
+def test_hypervolume_cells_under_jit_and_vmap():
+    Y = _front(6, 3, seed=7)
+    ref = jnp.zeros(3)
+    hv_e = float(hypervolume_cells(jnp.asarray(Y), ref))
+    hv_j = float(jax.jit(lambda y: hypervolume_cells(y, ref))(jnp.asarray(Y)))
+    np.testing.assert_allclose(hv_j, hv_e, rtol=1e-6)
+    batch = jnp.stack([jnp.asarray(Y), jnp.asarray(_front(6, 3, seed=8))])
+    hv_b = jax.vmap(lambda y: hypervolume_cells(y, ref))(batch)
+    assert hv_b.shape == (2,)
+    np.testing.assert_allclose(float(hv_b[0]), hv_e, rtol=1e-5)
+
+
+def test_qhvkg_large_pareto_front():
+    """qHVKG value-function HV at |front| = 50, m = 3 — the regime where
+    the old O(2^|front|) inclusion-exclusion was intractable (round-2
+    weakness #5). Must run fast and agree with the host HV."""
+    Y = _front(50, 3, seed=11)
+    ref = np.zeros(3, np.float32)
+    nd = np.asarray(is_non_dominated(jnp.asarray(Y)))
+    hv_np = dominated_hypervolume_np(Y[nd], ref)
+    hv_jax = float(
+        jax.jit(lambda y: hypervolume_cells(y, jnp.asarray(ref)))(
+            jnp.asarray(Y)
+        )
+    )
+    np.testing.assert_allclose(hv_jax, hv_np, rtol=1e-4)
+    g = jax.grad(lambda y: hypervolume_cells(y, jnp.asarray(ref)))(
+        jnp.asarray(Y)
+    )
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_qnehvi_in_graph_m3():
+    """qLogNEHVI with m = 3 and NO construction-time cells: the in-graph
+    padded decomposition path (previously raised ValueError)."""
+    from botorch_tpu.acquisition.multi_objective import (
+        _subset_masks,
+        qLogNoisyExpectedHypervolumeImprovement,
+    )
+    from botorch_tpu.fit import fit_gp
+    from botorch_tpu.models.gp import make_gp
+    from botorch_tpu.sampling.sobol import draw_sobol_normal_samples
+
+    rng = np.random.default_rng(0)
+    n, d, m, q, nmc = 10, 2, 3, 1, 8
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    Y = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=15)
+    masks, signs = _subset_masks(q)
+    z = draw_sobol_normal_samples((n + q) * m, nmc, seed=3)
+    acqf = qLogNoisyExpectedHypervolumeImprovement(
+        model=model,
+        cache=model.train_chol(),
+        base_samples=z.reshape(nmc, n + q, m),
+        X_baseline=X,
+        ref_point=jnp.full((m,), -2.0),
+        masks=masks,
+        signs=signs,
+    )
+    Xq = jnp.asarray(rng.uniform(size=(q, d)), jnp.float32)
+    v = float(acqf(Xq))
+    assert np.isfinite(v)
+    g = jax.grad(lambda x: acqf(x))(Xq)
+    assert np.isfinite(np.asarray(g)).all()
+    # jit-compiles (the compiled-MO-loop requirement)
+    vj = float(jax.jit(acqf.__call__)(Xq))
+    np.testing.assert_allclose(vj, v, rtol=5e-3)  # f32 fusion reassoc
+
+
+def test_compiled_mo_loop_m3():
+    """The fully-compiled MO loop now runs m = 3 in-graph end-to-end
+    (DTLZ2, 3 objectives) and improves hypervolume over its own prefix."""
+    from botorch_tpu.mo_loop import observed_hypervolume, run_mo_bo_loop
+    from botorch_tpu.test_functions.multi_objective import DTLZ2
+
+    prob = DTLZ2(dim=4, num_objectives=3, negate=True)
+    ref = prob.ref_point
+    s = run_mo_bo_loop(
+        prob, d=4, m=3, ref_point=ref, n_init=8, iterations=4,
+        key=jax.random.PRNGKey(0), num_restarts=2, raw_samples=8,
+        fit_restarts=2, fit_maxiter=8, acq_maxiter=8, mc_samples=8,
+    )
+    assert int(s.n) == 12
+    hv_prefix = observed_hypervolume(s.replace(n=jnp.int32(8)), ref)
+    hv_full = observed_hypervolume(s, ref)
+    assert hv_full >= hv_prefix - 1e-6
+    assert hv_full > 0.0

@@ -101,3 +101,13 @@ def test_sharded_nuts_chains_match_unsharded():
     # statistical sanity: pooled mean near the target mean
     pooled = np.asarray(samples_sh).reshape(-1, k)
     assert np.abs(pooled.mean(0) - np.asarray([1.0, -0.5, 0.25])).max() < 0.25
+
+
+def test_dryrun_multihost_two_processes():
+    """Simulated multi-host: 2 jax.distributed processes (gloo CPU),
+    restart axis farmed over a global (host, restart) mesh. The workers
+    are separate processes, so this works regardless of the suite's
+    in-process backend pinning."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multihost(2, local_device_count=2)
