@@ -82,6 +82,7 @@ def _mo_bo_step(
     mc_samples: int = 64,
     shard_fn=None,
     params0=None,
+    sequential: bool = True,
 ):
     """One MO BO iteration on the padded state: fit the multi-output GP on
     the masked history, build qLogNEHVI over the padded baseline, maximize.
@@ -103,11 +104,52 @@ def _mo_bo_step(
         shard_fn=shard_fn,
     )
 
-    masks, signs = _subset_masks(q)
     base = draw_fresh_base_samples(capacity + q, m, mc_samples, k_base, seed=23)
+    cache = model.train_chol()
+    unit_bounds = jnp.stack([jnp.zeros(d), jnp.ones(d)])
+    skip = (state.n.astype(jnp.uint32) + 1) * jnp.uint32(raw_samples)
+
+    if sequential and q > 1:
+        # Sequential-greedy q-batch construction (the reference's default
+        # for q > 1 NEHVI, `optimize_acqf(..., sequential=True)` /
+        # `_optimize_acqf_sequential_q`, `optim/optimize.py:202`): each
+        # pick maximizes the JOINT HVI with the already-chosen points as
+        # X_pending. Statically unrolled — q compiled sub-programs inside
+        # the one jit. Measurably better fronts than the joint q-batch
+        # ascent at the same budgets (the r2 bench's hv_frac gap).
+        cands = []
+        val = None
+        for j in range(q):
+            masks_j, signs_j = _subset_masks(1 + j)
+            acqf_j = qLogNoisyExpectedHypervolumeImprovement(
+                model=model,
+                cache=cache,
+                base_samples=base[:, : capacity + 1 + j, :],
+                X_baseline=state.X,
+                ref_point=ref_point,
+                masks=masks_j,
+                signs=signs_j,
+                baseline_mask=mask,
+                X_pending=(
+                    jnp.concatenate(cands, axis=0) if cands else None
+                ),
+            )
+            k_acq, sub = jax.random.split(k_acq)
+            cand_j, val = optimize_acqf(
+                acqf_j, unit_bounds, q=1,
+                num_restarts=num_restarts, raw_samples=raw_samples,
+                key=sub, maxiter=acq_maxiter, sobol=sobol,
+                sobol_skip=skip + jnp.uint32(j) * jnp.uint32(raw_samples),
+                shard_fn=shard_fn,
+            )
+            cands.append(cand_j)
+        cand = jnp.concatenate(cands, axis=0)
+        return cand, val, model.params
+
+    masks, signs = _subset_masks(q)
     acqf = qLogNoisyExpectedHypervolumeImprovement(
         model=model,
-        cache=model.train_chol(),
+        cache=cache,
         base_samples=base,
         X_baseline=state.X,
         ref_point=ref_point,
@@ -115,9 +157,6 @@ def _mo_bo_step(
         signs=signs,
         baseline_mask=mask,
     )
-
-    unit_bounds = jnp.stack([jnp.zeros(d), jnp.ones(d)])
-    skip = (state.n.astype(jnp.uint32) + 1) * jnp.uint32(raw_samples)
     cand, val = optimize_acqf(
         acqf, unit_bounds, q=q,
         num_restarts=num_restarts, raw_samples=raw_samples,
@@ -131,7 +170,7 @@ def _mo_bo_step(
     jax.jit,
     static_argnames=(
         "q", "num_restarts", "raw_samples", "fit_restarts", "fit_maxiter",
-        "acq_maxiter", "kernel", "mc_samples", "shard_fn",
+        "acq_maxiter", "kernel", "mc_samples", "shard_fn", "sequential",
     ),
 )
 def mo_bo_step(
@@ -148,6 +187,7 @@ def mo_bo_step(
     kernel: str = "rbf",
     mc_samples: int = 64,
     shard_fn=None,
+    sequential: bool = True,
 ) -> tuple[Array, Array]:
     """Public single-step entry point for external objectives."""
     cand, val, _ = _mo_bo_step(
@@ -155,7 +195,7 @@ def mo_bo_step(
         num_restarts=num_restarts, raw_samples=raw_samples,
         fit_restarts=fit_restarts, fit_maxiter=fit_maxiter,
         acq_maxiter=acq_maxiter, kernel=kernel, mc_samples=mc_samples,
-        shard_fn=shard_fn,
+        shard_fn=shard_fn, sequential=sequential,
     )
     return cand, val
 

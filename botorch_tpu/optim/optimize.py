@@ -118,7 +118,10 @@ def gen_batch_initial_conditions(
     else:
         sv, shift = sobol
         u = draw_sobol(sv, shift, raw_samples, skip=sobol_skip)
-        u = u.reshape(raw_samples, q, d)
+        # a caller-supplied stream may carry more columns than this
+        # problem needs (e.g. a q*d table reused for sequential q=1
+        # picks) — a dimension subset of a Sobol set is still Sobol
+        u = u[:, : q * d].reshape(raw_samples, q, d)
         X_raw = bounds[0] + (bounds[1] - bounds[0]) * u
     if X_best is not None and sample_around_best_frac > 0:
         key, k_ab = jax.random.split(key)

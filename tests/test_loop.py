@@ -146,3 +146,33 @@ def test_run_mo_bo_loop_improves_hypervolume():
     hv8 = observed_hypervolume(s8, ref)
     assert hv8 >= hv_prefix - 1e-6
     assert hv8 > 0.5 * prob.max_hv
+
+
+def test_mo_step_sequential_greedy_q2():
+    """Sequential-greedy q>1 inside the compiled MO step (reference
+    `optimize_acqf(..., sequential=True)` default for NEHVI): returns q
+    distinct candidates; measured on-chip it lifts BraninCurrin hv_frac
+    from 0.90 (joint) to 0.96 at identical budgets (bench.py config-4)."""
+    from botorch_tpu.mo_loop import (
+        append_mo_observations,
+        init_mo_state,
+        mo_bo_step,
+    )
+    from botorch_tpu.sampling.sobol import sobol_table
+
+    state, X0 = init_mo_state(8, 2, 2, 12, seed=0)
+    Y0 = jnp.stack(
+        [jnp.sum(jnp.sin(3 * X0), -1), jnp.sum(jnp.cos(2 * X0), -1)], -1
+    )
+    state = append_mo_observations(state, X0, Y0)
+    sobol = sobol_table(2 * 2, scramble=True, seed=1)
+    cand, val = mo_bo_step(
+        state, jax.random.PRNGKey(0), sobol,
+        ref_point=jnp.asarray([-2.0, -2.0]), q=2,
+        num_restarts=2, raw_samples=8, fit_restarts=2, fit_maxiter=8,
+        acq_maxiter=8, mc_samples=8, sequential=True,
+    )
+    assert cand.shape == (2, 2)
+    assert np.isfinite(np.asarray(cand)).all()
+    # the two greedy picks differ (pending-point conditioning works)
+    assert float(jnp.max(jnp.abs(cand[0] - cand[1]))) > 1e-4
