@@ -281,6 +281,39 @@ def make_qehvi(
     )
 
 
+def make_in_graph_nehvi_cells(
+    model,
+    cache,
+    X_baseline: Array,
+    base_prefix: Array,
+    ref_point: Array,
+    baseline_mask: Optional[Array] = None,
+    clip_max: float = CLIP_MAX,
+):
+    """Per-MC-sample nondominated cells for m >= 3 qNEHVI, computed ONCE
+    inside jit from the baseline block of the SAA base samples.
+
+    The baseline rows of the joint SAA samples are X-independent (the
+    joint Cholesky's top-left block is chol(K_bb)), so the decomposition
+    is a constant of the acquisition — computing it here and passing it
+    as `cell_lower/cell_upper` keeps the O(nb * |U|) Lacour scans out of
+    every L-BFGS value/grad evaluation (they are NOT hoistable by XLA
+    once expressed downstream of the joint posterior). Only valid for
+    unconstrained qNEHVI (outcome constraints re-shift baseline samples
+    per evaluation).
+    """
+    post = model.posterior(X_baseline, cache=cache)
+    bs = post.rsample_from_base_samples(base_prefix)  # (nmc, nb, m)
+    ref_b = jnp.broadcast_to(ref_point, (bs.shape[-1],))
+    if baseline_mask is not None:
+        bs = jnp.where(baseline_mask[..., :, None], bs, ref_b - 1.0)
+    from botorch_tpu.utils.box_decomposition_jax import (
+        nondominated_hypercell_bounds as _nd_cells,
+    )
+
+    return jax.vmap(lambda y: _nd_cells(y, ref_b, clip_max=clip_max))(bs)
+
+
 def make_qnehvi(
     cls,
     model: SingleTaskGP,

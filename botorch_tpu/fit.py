@@ -236,6 +236,18 @@ def fit_transformed_gp(
     base = tmodel.model
     if warp is None:
         raise ValueError("tmodel has no input_transform to fit")
+    if not hasattr(warp, "log_prior"):
+        # A chained / partially-learnable transform would have its
+        # NON-learnable array leaves (e.g. Normalize bounds) overwritten
+        # by the restart initialization and clamped by the raw box —
+        # silently corrupting the model. Refuse instead: fit the
+        # learnable member (Warp) alone and compose afterwards.
+        raise ValueError(
+            "fit_transformed_gp requires a transform whose array leaves "
+            "are all learnable parameters with a log_prior() (e.g. Warp);"
+            f" got {type(warp).__name__}. For chains, fit the learnable "
+            "member alone and recompose."
+        )
     if X_raw is None:
         X_raw = warp.untransform(base.X)
 

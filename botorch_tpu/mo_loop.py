@@ -109,6 +109,23 @@ def _mo_bo_step(
     unit_bounds = jnp.stack([jnp.zeros(d), jnp.ones(d)])
     skip = (state.n.astype(jnp.uint32) + 1) * jnp.uint32(raw_samples)
 
+    # m >= 3: build the per-sample Lacour cells ONCE per step from the
+    # X-independent baseline block of the SAA samples (identical across
+    # sequential picks too — pending points enter as candidates, not
+    # baseline). Leaving this to qNEHVI._hvi would re-run the O(nb*|U|)
+    # scans inside every L-BFGS value/grad evaluation.
+    cell_kwargs = {}
+    if m > 2:
+        from botorch_tpu.acquisition.multi_objective import (
+            make_in_graph_nehvi_cells,
+        )
+
+        lo_c, up_c = make_in_graph_nehvi_cells(
+            model, cache, state.X, base[:, :capacity, :],
+            jnp.asarray(ref_point), baseline_mask=mask,
+        )
+        cell_kwargs = dict(cell_lower=lo_c, cell_upper=up_c)
+
     if sequential and q > 1:
         # Sequential-greedy q-batch construction (the reference's default
         # for q > 1 NEHVI, `optimize_acqf(..., sequential=True)` /
@@ -130,6 +147,7 @@ def _mo_bo_step(
                 masks=masks_j,
                 signs=signs_j,
                 baseline_mask=mask,
+                **cell_kwargs,
                 X_pending=(
                     jnp.concatenate(cands, axis=0) if cands else None
                 ),
@@ -156,6 +174,7 @@ def _mo_bo_step(
         masks=masks,
         signs=signs,
         baseline_mask=mask,
+        **cell_kwargs,
     )
     cand, val = optimize_acqf(
         acqf, unit_bounds, q=q,

@@ -152,7 +152,9 @@ def optimize_acqf(
     inequality_constraints: Optional[list] = None,
     equality_constraints: Optional[list] = None,
     nonlinear_inequality_constraints: Optional[list] = None,
-    constraint_penalty: float = 1e3,  # kept for API compat; unused
+    constraint_penalty: float = 1e3,  # used only for nonlinear-constraint
+    # IC screening (gen-time feasibility bias); the solve itself uses the
+    # augmented-Lagrangian path, not this weight
     timeout_sec: Optional[float] = None,
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
@@ -280,6 +282,8 @@ def optimize_acqf(
             inequality_constraints=inequality_constraints,
             equality_constraints=equality_constraints,
             nonlinear_inequality_constraints=nonlinear_inequality_constraints,
+            shard_fn=shard_fn,
+            timeout_sec=timeout_sec,
         )
     else:
         res = multi_start_lbfgsb(
@@ -314,6 +318,8 @@ def _optimize_constrained(
     al_rounds: int = 4,
     rho0: float = 10.0,
     rho_growth: float = 10.0,
+    shard_fn=None,
+    timeout_sec: Optional[float] = None,
 ):
     """Augmented-Lagrangian multi-start solve + feasibility polish.
 
@@ -345,6 +351,10 @@ def _optimize_constrained(
 
     @jax.jit
     def al_round(x, lam, mu, rho):
+        if shard_fn is not None:
+            # restarts (and their multipliers) ride the restart mesh axis,
+            # same as the unconstrained multi_start_lbfgsb path
+            x, lam, mu = shard_fn(x), shard_fn(lam), shard_fn(mu)
         def solve_lane(x0, lam1, mu1):
             res = lbfgsb(
                 lambda v: al_obj(v, lam1, mu1, rho), x0,
@@ -358,10 +368,21 @@ def _optimize_constrained(
         mu = jnp.maximum(0.0, mu - rho * c)
         return x, lam, mu
 
+    import time as _time
+
+    t0 = _time.monotonic()
     rho = jnp.float32(rho0)
-    for _ in range(al_rounds):
+    for rnd in range(al_rounds):
         x, lam, mu = al_round(x, lam, mu, rho)
         rho = rho * rho_growth
+        if timeout_sec is not None and rnd < al_rounds - 1:
+            jax.block_until_ready(x)
+            # best-effort wall-clock budget (reference
+            # `minimize_with_timeout` semantics): stop multiplier rounds
+            # on expiry; the feasibility polish below still runs so the
+            # guarantee is preserved.
+            if _time.monotonic() - t0 >= timeout_sec:
+                break
 
     cands = x.reshape(num_restarts, q, d)
 
@@ -370,8 +391,6 @@ def _optimize_constrained(
     if inequality_constraints or equality_constraints:
         A_ineq = b_ineq = None
         if inequality_constraints:
-            import numpy as _np
-
             A_np, b_np = _dense_rows(inequality_constraints, d)
             A_ineq = jnp.asarray(A_np, jnp.float32)
             b_ineq = jnp.asarray(b_np, jnp.float32)

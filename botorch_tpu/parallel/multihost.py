@@ -108,7 +108,10 @@ def replicate_to_global(tree, mesh):
     )
 
 
-def _worker_main(process_id: int, num_processes: int, port: int) -> None:
+def _worker_main(
+    process_id: int, num_processes: int, port: int,
+    local_device_count: int = 4,
+) -> None:
     """One simulated host: restart-sharded single-objective BO step +
     vmapped-chain NUTS lanes, both over the global (host, restart) mesh."""
     jax = init_multihost(
@@ -116,6 +119,7 @@ def _worker_main(process_id: int, num_processes: int, port: int) -> None:
         num_processes=num_processes,
         process_id=process_id,
         simulate_on_cpu=True,
+        local_device_count=local_device_count,
     )
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
@@ -189,6 +193,7 @@ def launch_simulated(n_hosts: int = 2, local_device_count: int = 4) -> None:
             [
                 sys.executable, os.path.abspath(__file__),
                 "--worker", str(i), str(n_hosts), str(port),
+                str(local_device_count),
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -213,6 +218,9 @@ def launch_simulated(n_hosts: int = 2, local_device_count: int = 4) -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--worker":
-        _worker_main(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        _worker_main(
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+            int(sys.argv[5]) if len(sys.argv) > 5 else 4,
+        )
     else:
         launch_simulated()

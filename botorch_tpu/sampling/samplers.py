@@ -124,23 +124,28 @@ class IndexSampler(struct.PyTreeNode):
 
     def __call__(self, posterior) -> Array:
         mean = posterior.mean  # (s, ..., q, m) — leading ensemble axis
-        # Point-mass assumption guard: gathering means silently discards
+        # Point-mass assumption: gathering means silently discards
         # within-component covariance. That matches the reference's
-        # deterministic EnsemblePosterior, but a Gaussian ensemble (e.g.
-        # a fully-Bayesian GP posterior) should be sampled with a normal
-        # sampler over its mixture — refuse rather than understate
-        # uncertainty.
-        var = getattr(posterior, "variance", None)
-        if var is not None and not isinstance(var, jax.core.Tracer):
-            import numpy as _np
+        # deterministic EnsemblePosterior; a Gaussian ensemble (e.g. a
+        # fully-Bayesian GP posterior) should instead use a normal
+        # sampler over its mixture. The value check is gated behind
+        # `settings.debug` so the default path neither forces a device
+        # sync nor behaves differently under jit (where tracers skip it).
+        from botorch_tpu import settings as _settings
 
-            if float(_np.max(_np.asarray(var))) > 1e-10:
-                raise ValueError(
-                    "IndexSampler is for (near-)deterministic ensemble "
-                    "posteriors; this posterior has non-zero "
-                    "within-component variance — use a normal sampler "
-                    "over the mixture instead (get_sampler dispatch)."
-                )
+        if _settings.debug.on():
+            var = getattr(posterior, "variance", None)
+            if var is not None and not isinstance(var, jax.core.Tracer):
+                import numpy as _np
+
+                if float(_np.max(_np.asarray(var))) > 1e-10:
+                    raise ValueError(
+                        "IndexSampler is for (near-)deterministic "
+                        "ensemble posteriors; this posterior has "
+                        "non-zero within-component variance — use a "
+                        "normal sampler over the mixture instead "
+                        "(get_sampler dispatch)."
+                    )
         idx = self.indices(mean.shape[0])
         return jnp.take(mean, idx, axis=0)
 

@@ -166,10 +166,14 @@ def dominated_hypercell_bounds(
     ok = _front_mask(Y, ref_point, valid)
     ref_min = -jnp.asarray(ref_point, Y.dtype)
     U0, Z0, v0 = _init_state(ref_min, N)
-    U, Z, uv, _ = _lub_scan(-Y, ok, U0, Z0, v0)
+    U, Z, uv, ovf = _lub_scan(-Y, ok, U0, Z0, v0)
     lo_min, up_min, nonempty = _eq2_cells(U, Z, uv, ref_min)
+    # Buffer overflow (only reachable beyond the exact m <= 3 bounds /
+    # the m >= 4 cap): poison the cells with NaN rather than silently
+    # truncate — a wrong-but-plausible HV is worse than a loud one.
+    poison = jnp.where(ovf, jnp.nan, 0.0)
     # max coords: [lower, upper] = [-up_min, -lo_min]
-    return -up_min, -lo_min
+    return -up_min + poison, -lo_min + poison
 
 
 def nondominated_hypercell_bounds(
@@ -194,7 +198,7 @@ def nondominated_hypercell_bounds(
     ok = _front_mask(Y, ref_point, valid)
     ref_min = -jnp.asarray(ref_point, Y.dtype)
     U0, Z0, v0 = _init_state(ref_min, N1)
-    U, Z, uv, _ = _lub_scan(-Y, ok, U0, Z0, v0)
+    U, Z, uv, ovf1 = _lub_scan(-Y, ok, U0, Z0, v0)
 
     # phase 2: dominated decomposition of -U with reference +inf
     N2 = max_cells or default_max_bounds(N1, m)
@@ -209,7 +213,7 @@ def nondominated_hypercell_bounds(
     )
     v20 = jnp.zeros((N2,), bool).at[0].set(True)
     # guard padded U rows (inf) — only feed valid bounds
-    U2, Z2, uv2, _ = _lub_scan(-U, uv, U20, Z20, v20)
+    U2, Z2, uv2, ovf2 = _lub_scan(-U, uv, U20, Z20, v20)
     # the phase-2 "minimization" coordinates ARE the original
     # maximization coordinates (we negated U going in), so Eq. 2 bounds
     # come out directly — no negation (numpy host version returns them
@@ -219,7 +223,9 @@ def nondominated_hypercell_bounds(
     upper = jnp.clip(up_min, -clip_max, clip_max)
     lower = jnp.where(nonempty[:, None], lower, 0.0)
     upper = jnp.where(nonempty[:, None], upper, 0.0)
-    return lower, upper
+    # loud failure on buffer overflow (see dominated_hypercell_bounds)
+    poison = jnp.where(ovf1 | ovf2, jnp.nan, 0.0)
+    return lower + poison, upper + poison
 
 
 def hypervolume_cells(

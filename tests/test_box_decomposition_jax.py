@@ -184,3 +184,14 @@ def test_compiled_mo_loop_m3():
     hv_full = observed_hypervolume(s, ref)
     assert hv_full >= hv_prefix - 1e-6
     assert hv_full > 0.0
+
+
+def test_overflow_poisons_with_nan():
+    """A too-small cell buffer must fail loudly (NaN), never silently
+    truncate the hypervolume (code-review finding r3)."""
+    Y = jnp.asarray(_front(20, 3, seed=13))
+    ref = jnp.zeros(3)
+    hv_ok = hypervolume_cells(Y, ref)  # default buffer: exact bound
+    assert np.isfinite(float(hv_ok))
+    hv_bad = hypervolume_cells(Y, ref, max_cells=4)  # forced overflow
+    assert np.isnan(float(hv_bad))
