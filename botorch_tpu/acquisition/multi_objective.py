@@ -304,9 +304,14 @@ def make_in_graph_nehvi_cells(
     """
     post = model.posterior(X_baseline, cache=cache)
     bs = post.rsample_from_base_samples(base_prefix)  # (nmc, nb, m)
-    ref_b = jnp.broadcast_to(ref_point, (bs.shape[-1],))
+    m = bs.shape[-1]
+    ref_b = jnp.broadcast_to(ref_point, (m,))
     if baseline_mask is not None:
         bs = jnp.where(baseline_mask[..., :, None], bs, ref_b - 1.0)
+    if m == 2:
+        return nondominated_hypercell_bounds_2d(
+            bs, ref_b, clip_max=clip_max
+        )
     from botorch_tpu.utils.box_decomposition_jax import (
         nondominated_hypercell_bounds as _nd_cells,
     )
@@ -349,6 +354,17 @@ def make_qnehvi(
         X_baseline=X_baseline, ref_point=ref_point,
         masks=masks, signs=signs, **kwargs,
     )
+    if m == 2 and not kwargs.get("constraints"):
+        # the baseline block of the SAA samples is X-independent, so the
+        # per-sample staircase cells are a constant of the acquisition —
+        # precompute them so L-BFGS evaluations skip the per-eval sort
+        # (outcome-constrained qNEHVI re-shifts baselines per eval and
+        # keeps the eval-time path)
+        lo, up = make_in_graph_nehvi_cells(
+            model, acqf.cache, X_baseline, base[:, :nb, :], ref_point,
+            baseline_mask=kwargs.get("baseline_mask"),
+        )
+        acqf = acqf.replace(cell_lower=lo, cell_upper=up)
     if m > 2:
         # deterministic baseline samples (base-sample prefix only)
         post = model.posterior(X_baseline, cache=acqf.cache)

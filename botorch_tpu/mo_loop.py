@@ -109,22 +109,21 @@ def _mo_bo_step(
     unit_bounds = jnp.stack([jnp.zeros(d), jnp.ones(d)])
     skip = (state.n.astype(jnp.uint32) + 1) * jnp.uint32(raw_samples)
 
-    # m >= 3: build the per-sample Lacour cells ONCE per step from the
-    # X-independent baseline block of the SAA samples (identical across
-    # sequential picks too — pending points enter as candidates, not
-    # baseline). Leaving this to qNEHVI._hvi would re-run the O(nb*|U|)
-    # scans inside every L-BFGS value/grad evaluation.
-    cell_kwargs = {}
-    if m > 2:
-        from botorch_tpu.acquisition.multi_objective import (
-            make_in_graph_nehvi_cells,
-        )
+    # Build the per-MC-sample cells ONCE per step from the X-independent
+    # baseline block of the SAA samples (identical across sequential
+    # picks too — pending points enter as candidates, not baseline).
+    # Leaving this to qNEHVI._hvi would re-run the staircase sort (m=2)
+    # or the O(nb*|U|) Lacour scans (m>=3) inside every L-BFGS
+    # value/grad evaluation.
+    from botorch_tpu.acquisition.multi_objective import (
+        make_in_graph_nehvi_cells,
+    )
 
-        lo_c, up_c = make_in_graph_nehvi_cells(
-            model, cache, state.X, base[:, :capacity, :],
-            jnp.asarray(ref_point), baseline_mask=mask,
-        )
-        cell_kwargs = dict(cell_lower=lo_c, cell_upper=up_c)
+    lo_c, up_c = make_in_graph_nehvi_cells(
+        model, cache, state.X, base[:, :capacity, :],
+        jnp.asarray(ref_point), baseline_mask=mask,
+    )
+    cell_kwargs = dict(cell_lower=lo_c, cell_upper=up_c)
 
     if sequential and q > 1:
         # Sequential-greedy q-batch construction (the reference's default
