@@ -80,10 +80,12 @@ def main():
     Xb = Xs[:, :2] * (prob2.bounds[1] - prob2.bounds[0]) + prob2.bounds[0]
     Ys = -prob2(Xb)
     # Chains are vmapped lanes — nearly free on TPU, and exactly the axis
-    # the reference cannot parallelize (pyro runs ONE chain). Measured on
-    # v5e: 16 chains 4.5s, 32 chains 4.6s (same wall, 2x transitions);
-    # 64 chains doubles wall time, so 32 is the knee.
-    warmup, samples, chains = 128, 128, 32
+    # the reference cannot parallelize (pyro runs ONE chain). r3 re-knee
+    # (post Pallas-precision fix): 32 chains 2550 trans/s, 64 chains 4681
+    # (+9% wall for 2x transitions), 128 chains 7062. 64 is the honest
+    # sweet spot: each chain still runs 8 post-warmup draws (kept
+    # ensemble = 64 models, vs the reference's 16).
+    warmup, samples, chains = 128, 128, 64
     # compile warmup
     m, _ = fit_saas_gp(Xs, Ys, jax.random.PRNGKey(0), num_warmup=warmup,
                        num_samples=samples, thinning=8, num_chains=chains)

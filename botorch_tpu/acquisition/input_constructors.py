@@ -206,6 +206,88 @@ def _construct_parego(model, train_X=None, train_Y=None, key=None, seed=0,
     )
 
 
+@acqf_input_constructor("NEI", "LogNEI", "NoisyExpectedImprovement",
+                        "LogNoisyExpectedImprovement")
+def _construct_analytic_nei(
+    model, train_X=None, key=None, seed=0, num_fantasies: int = 20,
+    maximize: bool = True, **options,
+):
+    """Fantasy-averaged analytic (Log)NEI (reference
+    `input_constructors.py` `construct_inputs_noisy_ei`)."""
+    from botorch_tpu.acquisition.analytic import (
+        LogNoisyExpectedImprovement,
+        NoisyExpectedImprovement,
+        make_noisy_ei,
+    )
+
+    name = options.pop("_name")
+    cls = (
+        NoisyExpectedImprovement
+        if name in ("NEI", "NoisyExpectedImprovement")
+        else LogNoisyExpectedImprovement
+    )
+    return make_noisy_ei(
+        cls, model, train_X, _default_key(key, seed),
+        num_fantasies=num_fantasies, maximize=maximize,
+    )
+
+
+@acqf_input_constructor("EHVI", "ExpectedHypervolumeImprovement")
+def _construct_analytic_ehvi(model, train_Y=None, ref_point=None, **options):
+    from botorch_tpu.acquisition.multi_objective import make_ehvi
+
+    options.pop("_name")
+    return make_ehvi(model, ref_point, train_Y)
+
+
+@acqf_input_constructor("qMFKG", "qMultiFidelityKnowledgeGradient")
+def _construct_qmfkg(
+    model, train_Y=None, project=None, q: int = 1,
+    num_fantasies: int = 64, current_value=None, seed: int = 0, **options,
+):
+    """One-shot multi-fidelity KG (reference `construct_inputs_qKG` MF
+    variant): requires `project` mapping candidates to target fidelity."""
+    from botorch_tpu.acquisition.knowledge_gradient import make_qkg
+
+    options.pop("_name")
+    if project is None:
+        raise ValueError("qMFKG requires `project` (target-fidelity map)")
+    if current_value is None:
+        current_value = 0.0 if train_Y is None else float(jnp.max(train_Y))
+    return make_qkg(
+        model, q=q, num_fantasies=num_fantasies,
+        current_value=current_value, seed=seed, project=project,
+    )
+
+
+@acqf_input_constructor("EUBO", "AnalyticExpectedUtilityOfBestOption",
+                        "qEUBO", "qExpectedUtilityOfBestOption")
+def _construct_eubo(model, **options):
+    """Preference EUBO over a fitted PairwiseGP (reference
+    `construct_inputs_analytic_eubo`)."""
+    from botorch_tpu.models.pairwise_gp import (
+        AnalyticExpectedUtilityOfBestOption,
+        qExpectedUtilityOfBestOption,
+    )
+
+    name = options.pop("_name")
+    if name in ("EUBO", "AnalyticExpectedUtilityOfBestOption"):
+        return AnalyticExpectedUtilityOfBestOption(model=model)
+    return _call_filtered(qExpectedUtilityOfBestOption, model=model, **options)
+
+
+@acqf_input_constructor("qBALD", "qBayesianActiveLearningByDisagreement")
+def _construct_qbald(model, **options):
+    from botorch_tpu.acquisition.active_learning import (
+        qBayesianActiveLearningByDisagreement,
+    )
+
+    options.pop("_name")
+    return qBayesianActiveLearningByDisagreement(
+        model=model, cache=model.train_chol()
+    )
+
+
 @acqf_input_constructor("qNIPV", "qNegIntegratedPosteriorVariance")
 def _construct_qnipv(model, bounds=None, key=None, seed=0,
                      num_mc_points: int = 128, **options):

@@ -142,3 +142,46 @@ def test_every_multi_objective_constructor_builds_and_evaluates(name, setup):
     Xq = jnp.broadcast_to(jnp.array([[0.4, 0.6]]), (q, 2))
     v = a(Xq)
     assert jnp.isfinite(v), name
+
+
+def test_round3_constructor_additions(setup):
+    """Names the reference registers that round 2 lacked: analytic
+    (Log)NEI, analytic EHVI, qMFKG, EUBO/qEUBO, qBALD."""
+    gp, X, Y, ub = setup
+    Xq = jnp.array([[0.4, 0.6]])
+
+    nei = construct_acqf(
+        "LogNEI", gp, train_X=X, num_fantasies=4, key=jax.random.PRNGKey(0)
+    )
+    assert jnp.isfinite(nei(Xq))
+
+    Y2 = jnp.stack([Y, -Y + 0.3], -1)
+    gp2 = fit_gp(make_gp(X, Y2), num_restarts=2, maxiter=15)
+    ehvi = construct_acqf(
+        "EHVI", gp2, train_Y=Y2, ref_point=jnp.asarray([-2.0, -2.0])
+    )
+    assert jnp.isfinite(ehvi(Xq))
+
+    proj = lambda x: x.at[..., -1].set(1.0)
+    kg = construct_acqf(
+        "qMFKG", gp, train_Y=Y[:, None], project=proj, num_fantasies=3
+    )
+    Xf = jnp.tile(Xq, (kg.get_augmented_q_batch_size(), 1))
+    assert jnp.isfinite(kg(Xf))
+
+    bald = construct_acqf("qBALD", gp)
+    assert jnp.isfinite(bald(Xq))
+
+    from botorch_tpu.models.pairwise_gp import (
+        fit_pairwise_gp,
+        make_pairwise_gp,
+    )
+
+    pm = fit_pairwise_gp(
+        make_pairwise_gp(X, jnp.asarray([[0, 1], [2, 3]], jnp.int32)),
+        maxiter=8,
+    )
+    eubo = construct_acqf("EUBO", pm)
+    assert jnp.isfinite(eubo(X[:2]))
+    qeubo = construct_acqf("qEUBO", pm, num_samples=32)
+    assert jnp.isfinite(qeubo(X[:3]))
