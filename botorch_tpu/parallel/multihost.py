@@ -112,8 +112,11 @@ def _worker_main(
     process_id: int, num_processes: int, port: int,
     local_device_count: int = 4,
 ) -> None:
-    """One simulated host: restart-sharded single-objective BO step +
-    vmapped-chain NUTS lanes, both over the global (host, restart) mesh."""
+    """One simulated host: the restart-sharded single-objective BO step
+    (fit restarts + acquisition restarts) over the global (host, restart)
+    mesh. NUTS-chain sharding over a mesh is covered by
+    `tests/test_parallel.py::test_sharded_nuts_chains_match_unsharded`;
+    the same `(host, restart)` spec applies to the chain axis on a pod."""
     jax = init_multihost(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=num_processes,
