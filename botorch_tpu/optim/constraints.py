@@ -45,13 +45,57 @@ FEASIBILITY_TOL = 1e-5
 
 
 def _dense_rows(constraints: Sequence, d: int) -> tuple[np.ndarray, np.ndarray]:
-    """(indices, coefficients, rhs) tuples -> dense (A (k, d), rhs (k,))."""
+    """(indices, coefficients, rhs) tuples -> dense (A (k, d), rhs (k,)).
+    Intra-point (1-d indices) only — see `_dense_rows_flat` for the
+    joint-q form that also covers inter-point constraints."""
     A = np.zeros((len(constraints), d))
     b = np.zeros((len(constraints),))
     for i, (idx, coef, rhs) in enumerate(constraints):
         A[i, np.asarray(idx)] = np.asarray(coef, np.float64)
         b[i] = float(rhs)
     return A, b
+
+
+def is_interpoint(constraints: Optional[Sequence]) -> bool:
+    """True if any tuple uses 2-d indices `(q_index, d_index)` — the
+    reference's inter-point constraint form (constraints coupling
+    different candidates of the q-batch,
+    `optim/parameter_constraints.py:29-66`)."""
+    for idx, _, _ in constraints or ():
+        if np.asarray(idx).ndim == 2:
+            return True
+    return False
+
+
+def _dense_rows_flat(
+    constraints: Sequence, q: int, d: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Constraint tuples -> dense rows over the FLATTENED `(q*d,)`
+    q-batch vector (the joint form every solver piece consumes).
+
+    Intra-point tuples (1-d indices) expand to `q` rows (one per
+    candidate); inter-point tuples (2-d indices `[(q_i, d_i), ...]`)
+    produce a single joint row — the reference's two constraint
+    semantics (`parameter_constraints.py:29-66`).
+    """
+    rows, rhs = [], []
+    for idx, coef, r in constraints:
+        idx_np = np.asarray(idx)
+        coef_np = np.asarray(coef, np.float64)
+        if idx_np.ndim == 2:
+            row = np.zeros(q * d)
+            row[idx_np[:, 0] * d + idx_np[:, 1]] = coef_np
+            rows.append(row)
+            rhs.append(float(r))
+        else:
+            for j in range(q):
+                row = np.zeros(q * d)
+                row[j * d + idx_np] = coef_np
+                rows.append(row)
+                rhs.append(float(r))
+    if not rows:
+        return np.zeros((0, q * d)), np.zeros((0,))
+    return np.stack(rows), np.asarray(rhs)
 
 
 @dataclass(frozen=True)
@@ -71,7 +115,12 @@ class AffineSubspace:
 
     @staticmethod
     def build(equality_constraints: Sequence, d: int) -> "AffineSubspace":
-        A, b = _dense_rows(equality_constraints, d)
+        return AffineSubspace.from_dense(
+            *_dense_rows(equality_constraints, d)
+        )
+
+    @staticmethod
+    def from_dense(A: np.ndarray, b: np.ndarray) -> "AffineSubspace":
         if np.linalg.matrix_rank(A) < A.shape[0]:
             raise ValueError(
                 "equality_constraints are linearly dependent; remove "
@@ -157,15 +206,25 @@ def linear_violation(
     equality_constraints: Optional[Sequence] = None,
 ) -> Array:
     """Max violation of the given (indices, coefficients, rhs) constraint
-    tuples over a `(..., q, d)` candidate tensor (0 where feasible)."""
-    total = jnp.zeros(Xq.shape[:-1])
-    for idx, coef, rhs in inequality_constraints or ():
-        lhs = jnp.sum(Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1)
-        total = jnp.maximum(total, jnp.maximum(rhs - lhs, 0.0))
-    for idx, coef, rhs in equality_constraints or ():
-        lhs = jnp.sum(Xq[..., jnp.asarray(idx)] * jnp.asarray(coef), axis=-1)
-        total = jnp.maximum(total, jnp.abs(lhs - rhs))
-    return jnp.max(total, axis=-1)
+    tuples over a `(..., q, d)` candidate tensor (0 where feasible).
+    Handles both intra-point (1-d indices, applied per candidate) and
+    inter-point (2-d indices, joint over the q-batch) tuples."""
+    q, d = Xq.shape[-2], Xq.shape[-1]
+    v = Xq.reshape(*Xq.shape[:-2], q * d)
+    total = jnp.zeros(Xq.shape[:-2])
+    if inequality_constraints:
+        A, b = _dense_rows_flat(inequality_constraints, q, d)
+        lhs = jnp.einsum("kf,...f->...k", jnp.asarray(A, v.dtype), v)
+        total = jnp.maximum(
+            total, jnp.max(jnp.maximum(jnp.asarray(b, v.dtype) - lhs, 0.0), -1)
+        )
+    if equality_constraints:
+        A, b = _dense_rows_flat(equality_constraints, q, d)
+        lhs = jnp.einsum("kf,...f->...k", jnp.asarray(A, v.dtype), v)
+        total = jnp.maximum(
+            total, jnp.max(jnp.abs(lhs - jnp.asarray(b, v.dtype)), -1)
+        )
+    return total
 
 
 def nonlinear_values(
@@ -203,29 +262,25 @@ def make_al_objective(
     ineq = list(inequality_constraints or ())
     nl = list(nonlinear_inequality_constraints or ())
 
+    # joint (flattened q*d) dense rows cover intra- AND inter-point tuples
+    A_eq_np, b_eq_np = _dense_rows_flat(eq, q, d)
+    A_in_np, b_in_np = _dense_rows_flat(ineq, q, d)
+    A_eq = jnp.asarray(A_eq_np, jnp.float32)
+    b_eq = jnp.asarray(b_eq_np, jnp.float32)
+    A_in = jnp.asarray(A_in_np, jnp.float32)
+    b_in = jnp.asarray(b_in_np, jnp.float32)
+
     def constraint_vals(v: Array) -> tuple[Array, Array]:
         Xq = v.reshape(q, d)
-        hs = [
-            jnp.sum(Xq[:, jnp.asarray(idx)] * jnp.asarray(coef), axis=-1) - rhs
-            for idx, coef, rhs in eq
-        ]
-        cs = [
-            jnp.sum(Xq[:, jnp.asarray(idx)] * jnp.asarray(coef), axis=-1) - rhs
-            for idx, coef, rhs in ineq
-        ]
-        h = (
-            jnp.concatenate(hs) if hs else jnp.zeros((0,), v.dtype)
-        )
-        c_lin = (
-            jnp.concatenate(cs) if cs else jnp.zeros((0,), v.dtype)
-        )
+        h = A_eq @ v - b_eq  # (n_eq,) — want 0
+        c_lin = A_in @ v - b_in  # want >= 0
         c_nl = (
             nonlinear_values(Xq, nl) if nl else jnp.zeros((0,), v.dtype)
         )
         return h, jnp.concatenate([c_lin, c_nl])
 
-    n_eq = len(eq) * q
-    n_ineq = len(ineq) * q + sum(
+    n_eq = A_eq_np.shape[0]
+    n_ineq = A_in_np.shape[0] + sum(
         (q if (not isinstance(con, tuple) or con[1]) else 1) for con in nl
     )
 

@@ -25,7 +25,8 @@ from botorch_tpu.ops.lbfgs import lbfgsb, multi_start_lbfgsb
 from botorch_tpu.optim.constraints import (
     FEASIBILITY_TOL,
     AffineSubspace,
-    _dense_rows,
+    _dense_rows_flat,
+    is_interpoint,
     linear_violation,
     make_al_objective,
     nonlinear_values,
@@ -166,6 +167,10 @@ def optimize_acqf(
         inequality_constraints: list of `(indices, coefficients, rhs)`
             meaning `sum_i coef_i x[idx_i] >= rhs` per candidate (the
             reference's convention, `optim/parameter_constraints.py`).
+            Indices may also be 2-d `((q_i, d_i), ...)` tuples for
+            INTER-point constraints coupling the q-batch (reference
+            `parameter_constraints.py:29-66`); same for
+            `equality_constraints`.
         equality_constraints: list of `(indices, coefficients, rhs)`
             meaning `sum_i coef_i x[idx_i] = rhs` per candidate
             (reference `parameter_constraints.py:68`
@@ -228,8 +233,13 @@ def optimize_acqf(
                 acqf, bounds, num_restarts, raw_samples, key=k_os, seed=seed
             )
 
+    interpoint = is_interpoint(inequality_constraints) or is_interpoint(
+        equality_constraints
+    )
     if initial_conditions is None:
-        if inequality_constraints or equality_constraints:
+        if (
+            inequality_constraints or equality_constraints
+        ) and not interpoint:
             from botorch_tpu.utils.sampling import get_polytope_samples
 
             key, k_poly = jax.random.split(key)
@@ -239,6 +249,30 @@ def optimize_acqf(
                 equality_constraints=equality_constraints,
             )
             X_raw = pts.reshape(raw_samples, q, d)
+            vals = jax.lax.map(acqf, X_raw)
+            ics = initialize_q_batch(key, X_raw, vals, num_restarts)
+        elif interpoint:
+            # inter-point constraints couple the q-batch: sample uniform
+            # q-batches and project them onto the joint feasible set (the
+            # AL solve + Dykstra polish guarantees final feasibility)
+            key, k_raw = jax.random.split(key)
+            X_raw = bounds[0] + (bounds[1] - bounds[0]) * jax.random.uniform(
+                k_raw, (raw_samples, q, d)
+            )
+            aff0 = (
+                AffineSubspace.from_dense(
+                    *_dense_rows_flat(equality_constraints, q, d)
+                )
+                if equality_constraints
+                else None
+            )
+            if aff0 is not None:
+                flat = X_raw.reshape(raw_samples, q * d)
+                flat = project_box_affine_halfspaces(
+                    flat, jnp.tile(bounds[0], q), jnp.tile(bounds[1], q),
+                    affine=aff0, iters=30,
+                )
+                X_raw = flat.reshape(raw_samples, q, d)
             vals = jax.lax.map(acqf, X_raw)
             ics = initialize_q_batch(key, X_raw, vals, num_restarts)
         elif nonlinear_inequality_constraints:
@@ -339,8 +373,12 @@ def _optimize_constrained(
         equality_constraints=equality_constraints,
         nonlinear_inequality_constraints=nonlinear_inequality_constraints,
     )
+    # affine geometry over the FLATTENED (q*d) joint vector: covers both
+    # intra-point (expanded per candidate) and inter-point equality rows
     affine = (
-        AffineSubspace.build(equality_constraints, d)
+        AffineSubspace.from_dense(
+            *_dense_rows_flat(equality_constraints, q, d)
+        )
         if equality_constraints
         else None
     )
@@ -384,20 +422,19 @@ def _optimize_constrained(
             if _time.monotonic() - t0 >= timeout_sec:
                 break
 
-    cands = x.reshape(num_restarts, q, d)
-
     # ---- exact polish for the LINEAR feasible set (box ∩ affine ∩
-    # halfspaces): Dykstra projection per candidate point ----
+    # halfspaces): Dykstra projection in the flattened (q*d) joint space,
+    # which handles inter-point constraints coupling the q candidates ----
     if inequality_constraints or equality_constraints:
         A_ineq = b_ineq = None
         if inequality_constraints:
-            A_np, b_np = _dense_rows(inequality_constraints, d)
+            A_np, b_np = _dense_rows_flat(inequality_constraints, q, d)
             A_ineq = jnp.asarray(A_np, jnp.float32)
             b_ineq = jnp.asarray(b_np, jnp.float32)
-        cands = project_box_affine_halfspaces(
-            cands, lo[:d], hi[:d], affine=affine,
-            A_ineq=A_ineq, b_ineq=b_ineq,
+        x = project_box_affine_halfspaces(
+            x, lo, hi, affine=affine, A_ineq=A_ineq, b_ineq=b_ineq,
         )
+    cands = x.reshape(num_restarts, q, d)
 
     vals = jax.lax.map(acqf, cands)
     vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)

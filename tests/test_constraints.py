@@ -132,3 +132,40 @@ def test_equality_polytope_sampling():
     assert (P[:, 0] >= 0.1 - 1e-5).all()
     assert (P >= -1e-5).all() and (P <= 1 + 1e-5).all()
     assert P.std(0).min() > 0.03  # spread, not stuck at one point
+
+
+def test_interpoint_equality_constraint():
+    """Inter-point equality (reference 2-d-indices form,
+    `parameter_constraints.py:29-66`): candidate 0 and candidate 1 must
+    share their first coordinate. Both candidates want (0.3, 0.7)."""
+    acqf = lambda X: -jnp.sum((X - jnp.asarray([0.3, 0.7])) ** 2)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    # x[0,0] - x[1,0] = 0
+    eq = [(((0, 0), (1, 0)), (1.0, -1.0), 0.0)]
+    cand, val = optimize_acqf(
+        acqf, bounds, q=2, num_restarts=4, raw_samples=24,
+        key=jax.random.PRNGKey(0), maxiter=60, equality_constraints=eq,
+    )
+    c = np.asarray(cand)
+    assert abs(c[0, 0] - c[1, 0]) <= 1e-6, c
+    np.testing.assert_allclose(c, [[0.3, 0.7]] * 2, atol=2e-3)
+    viol = float(linear_violation(cand[None], None, eq)[0])
+    assert viol <= 1e-6
+
+
+def test_interpoint_inequality_budget():
+    """Inter-point inequality: total budget over the q-batch,
+    sum of all coordinates of both candidates <= 1.2 (expressed as
+    -sum >= -1.2). The unconstrained optimum (all 0.9) is infeasible."""
+    acqf = lambda X: jnp.sum(X)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    idx = ((0, 0), (0, 1), (1, 0), (1, 1))
+    ineq = [(idx, (-1.0, -1.0, -1.0, -1.0), -1.2)]
+    cand, _ = optimize_acqf(
+        acqf, bounds, q=2, num_restarts=4, raw_samples=24,
+        key=jax.random.PRNGKey(1), maxiter=60,
+        inequality_constraints=ineq,
+    )
+    s = float(jnp.sum(cand))
+    assert s <= 1.2 + 1e-6, s
+    assert s >= 1.2 - 5e-3  # reaches the budget boundary
