@@ -226,6 +226,11 @@ def _construct_analytic_nei(
         if name in ("NEI", "NoisyExpectedImprovement")
         else LogNoisyExpectedImprovement
     )
+    if train_X is None:
+        # standard-derived-input rule: the observed designs default to
+        # the model's train inputs (reference derives X_observed from
+        # the model's train data too)
+        train_X = model.X
     return make_noisy_ei(
         cls, model, train_X, _default_key(key, seed),
         num_fantasies=num_fantasies, maximize=maximize,

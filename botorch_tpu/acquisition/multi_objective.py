@@ -193,32 +193,28 @@ class qNoisyExpectedHypervolumeImprovement(MCAcquisitionFunction):
             cand_samples = self.ref_point + w * (cand_samples - self.ref_point)
         m = cand_samples.shape[-1]
         if self.cell_lower is not None:
+            if self.constraints:
+                # precomputed cells come from UNSHIFTED baseline samples;
+                # the outcome-constraint path re-shifts baselines per
+                # evaluation, so mixing the two silently overstates HVI
+                raise ValueError(
+                    "outcome-constrained qNEHVI must not carry "
+                    "construction-time cells (cell_lower); build without "
+                    "them so cells follow the constraint-shifted "
+                    "baselines"
+                )
             lo, up = self.cell_lower, self.cell_upper
             # broadcast over ensemble dims if present
             extra = cand_samples.ndim - 3
             for _ in range(extra):
                 lo, up = lo[:, None], up[:, None]
-        elif m == 2:
-            lo, up = nondominated_hypercell_bounds_2d(
-                base_samples, jnp.broadcast_to(self.ref_point, (2,)),
-                clip_max=CLIP_MAX,
-            )
         else:
-            # m >= 3 in-graph: per-MC-sample padded Lacour decomposition
-            # (jit-compatible; lifts the round-2 m == 2 restriction of
-            # the fully-compiled MO loop)
-            from botorch_tpu.utils.box_decomposition_jax import (
-                nondominated_hypercell_bounds as _nd_cells,
+            # in-graph per-MC-sample cells (m = 2 staircase / m >= 3
+            # padded Lacour; jit-compatible — this is what lifts the
+            # round-2 m == 2 limit of the fully-compiled MO loop)
+            lo, up = cells_from_baseline_samples(
+                base_samples, self.ref_point, clip_max=CLIP_MAX
             )
-
-            ref_b = jnp.broadcast_to(self.ref_point, (m,))
-            lead = base_samples.shape[:-2]
-            flat = base_samples.reshape(-1, *base_samples.shape[-2:])
-            lo, up = jax.vmap(
-                lambda y: _nd_cells(y, ref_b, clip_max=CLIP_MAX)
-            )(flat)
-            lo = lo.reshape(*lead, *lo.shape[-2:])
-            up = up.reshape(*lead, *up.shape[-2:])
         return _hvi_from_cells(
             cand_samples, lo, up, self.masks, self.signs,
             smooth_tau=self.smooth_tau,
@@ -281,6 +277,32 @@ def make_qehvi(
     )
 
 
+def cells_from_baseline_samples(
+    bs: Array, ref_point: Array, clip_max: float = CLIP_MAX
+):
+    """Per-MC-sample nondominated cells from baseline objective samples
+    `bs (..., nb, m)`: the batched 2-d staircase for m = 2, the vmapped
+    padded Lacour decomposition for m >= 3. Shared by the eval-time path
+    (`qNoisyExpectedHypervolumeImprovement._hvi`) and the construction-
+    time precompute (`make_in_graph_nehvi_cells`) so the masking/clipping
+    rules can't drift apart."""
+    m = bs.shape[-1]
+    ref_b = jnp.broadcast_to(ref_point, (m,))
+    if m == 2:
+        return nondominated_hypercell_bounds_2d(bs, ref_b, clip_max=clip_max)
+    from botorch_tpu.utils.box_decomposition_jax import (
+        nondominated_hypercell_bounds as _nd_cells,
+    )
+
+    lead = bs.shape[:-2]
+    flat = bs.reshape(-1, *bs.shape[-2:])
+    lo, up = jax.vmap(lambda y: _nd_cells(y, ref_b, clip_max=clip_max))(flat)
+    return (
+        lo.reshape(*lead, *lo.shape[-2:]),
+        up.reshape(*lead, *up.shape[-2:]),
+    )
+
+
 def make_in_graph_nehvi_cells(
     model,
     cache,
@@ -302,21 +324,21 @@ def make_in_graph_nehvi_cells(
     unconstrained qNEHVI (outcome constraints re-shift baseline samples
     per evaluation).
     """
+    if tuple(getattr(model, "batch_shape", ())):
+        # ensemble models: the baseline samples gain an ensemble axis the
+        # (nmc, nb, m) base prefix does not broadcast against here; the
+        # eval-time path in `_hvi` handles those dims — use it instead.
+        raise ValueError(
+            "make_in_graph_nehvi_cells requires an unbatched model; "
+            f"got batch_shape {tuple(model.batch_shape)} (ensemble "
+            "models use the eval-time cell path)"
+        )
     post = model.posterior(X_baseline, cache=cache)
     bs = post.rsample_from_base_samples(base_prefix)  # (nmc, nb, m)
-    m = bs.shape[-1]
-    ref_b = jnp.broadcast_to(ref_point, (m,))
+    ref_b = jnp.broadcast_to(ref_point, (bs.shape[-1],))
     if baseline_mask is not None:
         bs = jnp.where(baseline_mask[..., :, None], bs, ref_b - 1.0)
-    if m == 2:
-        return nondominated_hypercell_bounds_2d(
-            bs, ref_b, clip_max=clip_max
-        )
-    from botorch_tpu.utils.box_decomposition_jax import (
-        nondominated_hypercell_bounds as _nd_cells,
-    )
-
-    return jax.vmap(lambda y: _nd_cells(y, ref_b, clip_max=clip_max))(bs)
+    return cells_from_baseline_samples(bs, ref_point, clip_max=clip_max)
 
 
 def make_qnehvi(
@@ -354,7 +376,11 @@ def make_qnehvi(
         X_baseline=X_baseline, ref_point=ref_point,
         masks=masks, signs=signs, **kwargs,
     )
-    if m == 2 and not kwargs.get("constraints"):
+    if (
+        m == 2
+        and not kwargs.get("constraints")
+        and not tuple(getattr(model, "batch_shape", ()))
+    ):
         # the baseline block of the SAA samples is X-independent, so the
         # per-sample staircase cells are a constant of the acquisition —
         # precompute them so L-BFGS evaluations skip the per-eval sort

@@ -51,7 +51,9 @@ def _dense_rows(constraints: Sequence, d: int) -> tuple[np.ndarray, np.ndarray]:
     A = np.zeros((len(constraints), d))
     b = np.zeros((len(constraints),))
     for i, (idx, coef, rhs) in enumerate(constraints):
-        A[i, np.asarray(idx)] = np.asarray(coef, np.float64)
+        # accumulate (np.add.at), don't assign: duplicate indices in one
+        # tuple mean summed coefficients (((0, 0), (1, 1), 1) is 2*x0>=1)
+        np.add.at(A[i], np.asarray(idx), np.asarray(coef, np.float64))
         b[i] = float(rhs)
     return A, b
 
@@ -84,13 +86,13 @@ def _dense_rows_flat(
         coef_np = np.asarray(coef, np.float64)
         if idx_np.ndim == 2:
             row = np.zeros(q * d)
-            row[idx_np[:, 0] * d + idx_np[:, 1]] = coef_np
+            np.add.at(row, idx_np[:, 0] * d + idx_np[:, 1], coef_np)
             rows.append(row)
             rhs.append(float(r))
         else:
             for j in range(q):
                 row = np.zeros(q * d)
-                row[j * d + idx_np] = coef_np
+                np.add.at(row, j * d + idx_np, coef_np)
                 rows.append(row)
                 rhs.append(float(r))
     if not rows:
@@ -121,11 +123,29 @@ class AffineSubspace:
 
     @staticmethod
     def from_dense(A: np.ndarray, b: np.ndarray) -> "AffineSubspace":
-        if np.linalg.matrix_rank(A) < A.shape[0]:
-            raise ValueError(
-                "equality_constraints are linearly dependent; remove "
-                "redundant rows"
+        A = np.asarray(A, np.float64)
+        b = np.asarray(b, np.float64)
+        rank = np.linalg.matrix_rank(A)
+        if rank < A.shape[0]:
+            # Dependent rows arise naturally from the flattened q-batch
+            # expansion (e.g. an intra-point equality on both candidates
+            # plus an inter-point tie). Accept CONSISTENT redundancy by
+            # reducing to an independent row subset (QR column pivoting
+            # on A^T, the scipy behavior the reference relies on); only
+            # an inconsistent system is an error.
+            aug_rank = np.linalg.matrix_rank(
+                np.concatenate([A, b[:, None]], axis=1)
             )
+            if aug_rank > rank:
+                raise ValueError(
+                    "equality_constraints are inconsistent (no feasible "
+                    "point satisfies all of them)"
+                )
+            from scipy.linalg import qr as _qr
+
+            _, _, piv = _qr(A.T, pivoting=True)
+            keep = np.sort(piv[:rank])
+            A, b = A[keep], b[keep]
         pinv = A.T @ np.linalg.inv(A @ A.T)
         # nullspace via SVD
         _, s, Vt = np.linalg.svd(A, full_matrices=True)

@@ -274,7 +274,18 @@ def optimize_acqf(
                 )
                 X_raw = flat.reshape(raw_samples, q, d)
             vals = jax.lax.map(acqf, X_raw)
-            ics = initialize_q_batch(key, X_raw, vals, num_restarts)
+            # feasibility-screen the Boltzmann selection (same policy as
+            # the nonlinear-constraint branch): bias restarts away from
+            # inter-point-infeasible raw batches the projection above
+            # could not fix (it only handles the equality rows)
+            viol = linear_violation(
+                X_raw, inequality_constraints, equality_constraints
+            )
+            ics = initialize_q_batch(
+                key, X_raw,
+                vals - constraint_penalty * jnp.square(viol),
+                num_restarts,
+            )
         elif nonlinear_inequality_constraints:
             key, k_raw = jax.random.split(key)
             X_raw = bounds[0] + (bounds[1] - bounds[0]) * jax.random.uniform(
