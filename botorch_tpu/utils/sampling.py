@@ -190,7 +190,8 @@ def get_polytope_samples(
         A_rows.append(eye[i]); b_rows.append(float(bounds[1, i]))
     for idx, coef, rhs in inequality_constraints or ():
         row = np.zeros(d)
-        row[np.asarray(idx)] = -np.asarray(coef, np.float64)
+        # accumulate: duplicate indices mean summed coefficients
+        np.add.at(row, np.asarray(idx), -np.asarray(coef, np.float64))
         A_rows.append(row)
         b_rows.append(-float(rhs))
     A = np.stack(A_rows)

@@ -169,3 +169,60 @@ def test_interpoint_inequality_budget():
     s = float(jnp.sum(cand))
     assert s <= 1.2 + 1e-6, s
     assert s >= 1.2 - 5e-3  # reaches the budget boundary
+
+
+def test_duplicate_indices_accumulate():
+    """((0, 0), (1.0, 1.0), 1.0) means 2*x0 >= 1 (coefficients on
+    repeated indices SUM — the r3 dense-row builder regression test)."""
+    from botorch_tpu.optim.constraints import _dense_rows, _dense_rows_flat
+
+    A, b = _dense_rows([((0, 0), (1.0, 1.0), 1.0)], d=2)
+    np.testing.assert_allclose(A, [[2.0, 0.0]])
+    Af, bf = _dense_rows_flat([((0, 0), (1.0, 1.0), 1.0)], q=2, d=2)
+    np.testing.assert_allclose(Af, [[2.0, 0.0, 0.0, 0.0],
+                                    [0.0, 0.0, 2.0, 0.0]])
+    # inter-point with a repeated (q_i, d_i) pair
+    Aj, bj = _dense_rows_flat(
+        [((((0, 0)), ((0, 0))), (1.0, 2.0), 0.5)], q=1, d=2
+    )
+    np.testing.assert_allclose(Aj, [[3.0, 0.0]])
+    # end-to-end: maximize x0 subject to 2*x0 >= 1 and x0 <= 0.4 is
+    # infeasible; 2*x0 >= 1 alone binds at x0 = 0.5 when minimizing x0
+    acqf = lambda X: -jnp.sum(X[..., 0])
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    cand, _ = optimize_acqf(
+        acqf, bounds, q=1, num_restarts=4, raw_samples=16,
+        key=jax.random.PRNGKey(5), maxiter=40,
+        inequality_constraints=[((0, 0), (1.0, 1.0), 1.0)],
+    )
+    x0 = float(cand[0, 0])
+    assert x0 >= 0.5 - 1e-6, x0  # NOT 1.0 (the old assignment bug's bound)
+    assert x0 <= 0.5 + 1e-3
+
+
+def test_redundant_consistent_equalities_accepted():
+    """Intra-point equality expanded over q plus a consistent inter-point
+    tie produces linearly dependent flattened rows — must be accepted
+    (rank-reduced), while an inconsistent system raises."""
+    acqf = lambda X: -jnp.sum((X - 0.7) ** 2)
+    bounds = jnp.stack([jnp.zeros(2), jnp.ones(2)])
+    eq = [
+        ((0,), (1.0,), 0.5),  # x0 = 0.5 for BOTH candidates (expanded)
+        (((0, 0), (1, 0)), (1.0, -1.0), 0.0),  # redundant tie
+    ]
+    cand, _ = optimize_acqf(
+        acqf, bounds, q=2, num_restarts=3, raw_samples=12,
+        key=jax.random.PRNGKey(6), maxiter=40, equality_constraints=eq,
+    )
+    c = np.asarray(cand)
+    np.testing.assert_allclose(c[:, 0], 0.5, atol=1e-6)
+    # inconsistent: x0 = 0.5 and x0 = 0.8
+    from botorch_tpu.optim.constraints import AffineSubspace, _dense_rows_flat
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inconsistent"):
+        AffineSubspace.from_dense(
+            *_dense_rows_flat(
+                [((0,), (1.0,), 0.5), ((0,), (1.0,), 0.8)], q=1, d=2
+            )
+        )
