@@ -391,8 +391,12 @@ def make_qnehvi(
             baseline_mask=kwargs.get("baseline_mask"),
         )
         acqf = acqf.replace(cell_lower=lo, cell_upper=up)
-    if m > 2:
-        # deterministic baseline samples (base-sample prefix only)
+    if m > 2 and not kwargs.get("constraints"):
+        # deterministic baseline samples (base-sample prefix only).
+        # Outcome-constrained qNEHVI must NOT carry construction-time
+        # cells: the eval path re-shifts baseline samples by feasibility
+        # per evaluation, and `_hvi` rejects the combination — the
+        # in-graph `cells_from_baseline_samples` path handles it.
         post = model.posterior(X_baseline, cache=acqf.cache)
         bs = post.rsample_from_base_samples(base[:, :nb, :])
         bs_np = np.asarray(bs)

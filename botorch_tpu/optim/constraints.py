@@ -51,9 +51,18 @@ def _dense_rows(constraints: Sequence, d: int) -> tuple[np.ndarray, np.ndarray]:
     A = np.zeros((len(constraints), d))
     b = np.zeros((len(constraints),))
     for i, (idx, coef, rhs) in enumerate(constraints):
+        idx_np = np.asarray(idx)
+        if idx_np.ndim == 2:
+            # inter-point tuples ((q_i, d_i) pairs) would be silently
+            # misread as flat d-indices here — they belong to the joint
+            # q-batch form (`_dense_rows_flat`)
+            raise ValueError(
+                "intra-point constraints only: got 2-d (inter-point) "
+                "indices; use the joint-q form (_dense_rows_flat) instead"
+            )
         # accumulate (np.add.at), don't assign: duplicate indices in one
         # tuple mean summed coefficients (((0, 0), (1, 1), 1) is 2*x0>=1)
-        np.add.at(A[i], np.asarray(idx), np.asarray(coef, np.float64))
+        np.add.at(A[i], idx_np, np.asarray(coef, np.float64))
         b[i] = float(rhs)
     return A, b
 
@@ -179,10 +188,16 @@ def project_box_affine_halfspaces(
     """Dykstra's alternating projections onto
     `[lo, hi] ∩ {A_eq x = b_eq} ∩ {A_ineq x >= b_ineq}` for `x: (..., d)`.
 
-    Dykstra (unlike plain POCS) converges to the EXACT Euclidean
-    projection onto the intersection of convex sets; with only the box
-    and the affine set this is the polish step that makes equality
-    feasibility a guarantee rather than a penalty-weight accident.
+    Dykstra (unlike plain POCS) converges to the exact Euclidean
+    projection onto an intersection of convex sets when every operator in
+    the cycle is an exact projection. That holds for the box and affine
+    sets; the halfspace "one sweep" operator below is itself a cyclic
+    POCS pass, so with `A_ineq` present the result is a convergent
+    feasibility polish rather than the exact projection. After the fixed
+    `iters` sweeps a final `affine.project` + clip is applied so the
+    equality residual at exit is roundoff-level (not just
+    convergence-level); `FEASIBILITY_TOL` remains the empirical bound the
+    explicit feasibility check backstops.
     """
     sets: list[Callable[[Array], Array]] = [lambda v: jnp.clip(v, lo, hi)]
     if affine is not None:
@@ -217,6 +232,13 @@ def project_box_affine_halfspaces(
     (x, _), _ = jax.lax.scan(
         one_round, (x, tuple(corrections)), None, length=iters
     )
+    # final exact affine projection + clip: the scan exits right after a
+    # halfspace sweep, leaving an equality residual bounded only by
+    # convergence; re-projecting makes it roundoff-level (the clip can
+    # reintroduce at most the box-activity displacement, which at
+    # convergence is below FEASIBILITY_TOL)
+    if affine is not None:
+        x = jnp.clip(affine.project(x), lo, hi)
     return x
 
 

@@ -20,6 +20,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from botorch_tpu.ops.lbfgs import lbfgsb, multi_start_lbfgsb
 from botorch_tpu.optim.constraints import (
@@ -349,6 +350,98 @@ def optimize_acqf(
     return cands[best], vals[best]
 
 
+#: compiled AL-round programs keyed on static constraint config — see
+#: `_get_al_round_fn`
+_AL_ROUND_CACHE: dict = {}
+
+
+def _linear_constraint_sig(constraints):
+    if not constraints:
+        return None
+    sig = []
+    for idx, coef, rhs in constraints:
+        idx_np = np.asarray(idx)
+        sig.append((
+            idx_np.ndim,
+            tuple(idx_np.ravel().tolist()),
+            tuple(np.asarray(coef, np.float64).ravel().tolist()),
+            float(rhs),
+        ))
+    return tuple(sig)
+
+
+def _get_al_round_fn(
+    acqf, q, d, inner,
+    inequality_constraints=None,
+    equality_constraints=None,
+    nonlinear_inequality_constraints=None,
+    shard_fn=None,
+):
+    """One jitted augmented-Lagrangian round, cached on static config.
+
+    When the acquisition is a flax.struct pytree (the package convention)
+    it is a jit ARGUMENT (re-keyed by treedef/shape), so host-driven
+    loops that call `optimize_acqf` with the same constraint spec each
+    iteration reuse the compiled program instead of retracing a fresh
+    closure per call (and per rho value). Plain-callable acquisitions
+    fall back to an uncached per-call closure (old behavior). Nonlinear
+    constraint callables and `shard_fn` key by identity — a best-effort
+    match that degrades to retrace-per-call when callers rebuild their
+    lambdas."""
+    from flax import struct as _struct
+
+    def _body(a, x, lam, mu, rho, lo, hi):
+        al_obj, _, _, cvals = make_al_objective(
+            lambda v: -a(v.reshape(q, d)), q, d,
+            inequality_constraints=inequality_constraints,
+            equality_constraints=equality_constraints,
+            nonlinear_inequality_constraints=nonlinear_inequality_constraints,
+        )
+        if shard_fn is not None:
+            # restarts (and their multipliers) ride the restart mesh axis,
+            # same as the unconstrained multi_start_lbfgsb path
+            x, lam, mu = shard_fn(x), shard_fn(lam), shard_fn(mu)
+
+        def solve_lane(x0, lam1, mu1):
+            res = lbfgsb(
+                lambda v: al_obj(v, lam1, mu1, rho), x0,
+                bounds=(lo, hi), maxiter=inner,
+            )
+            return res.x
+
+        x = jax.vmap(solve_lane)(x, lam, mu)
+        h, c = jax.vmap(cvals)(x)
+        lam = lam + rho * h
+        mu = jnp.maximum(0.0, mu - rho * c)
+        return x, lam, mu
+
+    if not isinstance(acqf, _struct.PyTreeNode):
+        jfn = jax.jit(
+            lambda x, lam, mu, rho, lo, hi: _body(acqf, x, lam, mu, rho, lo, hi)
+        )
+        return lambda a, x, lam, mu, rho, lo, hi: jfn(x, lam, mu, rho, lo, hi)
+
+    nl_sig = None
+    if nonlinear_inequality_constraints:
+        nl_sig = tuple(
+            (id(con[0]), bool(con[1])) if isinstance(con, tuple)
+            else (id(con), True)
+            for con in nonlinear_inequality_constraints
+        )
+    key = (
+        q, d, inner,
+        _linear_constraint_sig(inequality_constraints),
+        _linear_constraint_sig(equality_constraints),
+        nl_sig,
+        id(shard_fn) if shard_fn is not None else None,
+    )
+    fn = _AL_ROUND_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(_body)
+        _AL_ROUND_CACHE[key] = fn
+    return fn
+
+
 def _optimize_constrained(
     acqf,
     neg_fun,
@@ -378,7 +471,9 @@ def _optimize_constrained(
     """
     lo, hi = box
     num_restarts = ics.shape[0]
-    al_obj, n_eq, n_ineq, cvals = make_al_objective(
+    # outer call only sizes the multiplier vectors; the jitted round
+    # rebuilds the AL pieces from the traced acqf (see _get_al_round_fn)
+    _, n_eq, n_ineq, _ = make_al_objective(
         neg_fun, q, d,
         inequality_constraints=inequality_constraints,
         equality_constraints=equality_constraints,
@@ -398,24 +493,21 @@ def _optimize_constrained(
     mu = jnp.zeros((num_restarts, n_ineq), jnp.float32)
     inner = max(maxiter // al_rounds, 10)
 
-    @jax.jit
-    def al_round(x, lam, mu, rho):
-        if shard_fn is not None:
-            # restarts (and their multipliers) ride the restart mesh axis,
-            # same as the unconstrained multi_start_lbfgsb path
-            x, lam, mu = shard_fn(x), shard_fn(lam), shard_fn(mu)
-        def solve_lane(x0, lam1, mu1):
-            res = lbfgsb(
-                lambda v: al_obj(v, lam1, mu1, rho), x0,
-                bounds=(lo, hi), maxiter=inner,
-            )
-            return res.x
+    # The jitted AL round is cached at module level keyed on the static
+    # config, with the acqf pytree passed THROUGH jit — host-driven loops
+    # calling optimize_acqf with constraints every iteration then reuse
+    # the compiled program (jit re-keys on the acqf treedef/shapes)
+    # instead of retracing a fresh closure per call.
+    al_round_fn = _get_al_round_fn(
+        acqf, q, d, inner,
+        inequality_constraints=inequality_constraints,
+        equality_constraints=equality_constraints,
+        nonlinear_inequality_constraints=nonlinear_inequality_constraints,
+        shard_fn=shard_fn,
+    )
 
-        x = jax.vmap(solve_lane)(x, lam, mu)
-        h, c = jax.vmap(cvals)(x)
-        lam = lam + rho * h
-        mu = jnp.maximum(0.0, mu - rho * c)
-        return x, lam, mu
+    def al_round(x, lam, mu, rho):
+        return al_round_fn(acqf, x, lam, mu, rho, lo, hi)
 
     import time as _time
 

@@ -176,6 +176,34 @@ def test_qnehvi_3d_cached_cells():
     assert np.isfinite(v)
 
 
+def test_qnehvi_3d_constrained_via_factory():
+    # regression (r3 advisor, medium): the m>2 factory branch used to
+    # precompute cells unconditionally, which the constrained eval path
+    # rejects — every outcome-constrained m>=3 qNEHVI built via
+    # make_qnehvi then failed on evaluation
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(8, 2)), jnp.float32)
+    Y = jnp.stack(
+        [jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1]), X[:, 0] * X[:, 1]],
+        axis=-1,
+    )
+    ref = jnp.asarray([-1.5, -1.5, -0.5])
+    model = fit_gp(make_gp(X, Y), jax.random.PRNGKey(0), num_restarts=2,
+                   maxiter=20)
+    acqf = make_qnehvi(
+        qLogNoisyExpectedHypervolumeImprovement, model, ref, q=1,
+        X_baseline=X, num_samples=16,
+        constraints=[lambda s: s[..., 0] + 1.0],  # feasible iff f0 > -1
+    )
+    # constrained construction must NOT carry construction-time cells
+    assert acqf.cell_lower is None
+    Xq = jnp.asarray([[0.4, 0.6]], jnp.float32)
+    v = float(acqf(Xq))
+    g = np.asarray(jax.grad(lambda x: acqf(x))(Xq))
+    assert np.isfinite(v)
+    assert np.isfinite(g).all()
+
+
 def test_mo_problem_shapes_and_ref():
     for name, cls in MO_PROBLEMS.items():
         kwargs = {}
