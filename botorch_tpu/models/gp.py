@@ -50,6 +50,12 @@ Array = jax.Array
 
 _log_2pi = math.log(2.0 * math.pi)
 
+# Largest n for which `train_chol` materializes the explicit L^-1 (the
+# MXU-matmul posterior fast path). Above this, the blocked trsm against a
+# full identity costs more HBM in XLA temporaries than the chip has at
+# n ~ 10^4, and per-query triangular solves are matmul-bound anyway.
+_EXPLICIT_LINV_MAX_N = 4096
+
 
 class GPParams(struct.PyTreeNode):
     """Log-space GP hyperparameters. Leading dims = (output/ensemble) batch."""
@@ -182,8 +188,16 @@ class SingleTaskGP(struct.PyTreeNode):
         acquisition optimization) replaces a sequential triangular solve
         with an MXU matmul — on TPU the solve's sequential column loop is
         latency-bound and ~100x slower than the equivalent matmul.
+
+        For n > `_EXPLICIT_LINV_MAX_N` the explicit inverse is skipped
+        (XLA's blocked trsm against a full identity materializes O(n^2)
+        temporaries per block — ~7 GB of HBM at n = 10240) and a legacy
+        `(L, alpha)` cache is returned; `posterior` then solves per
+        query, which at that scale is matmul-bound anyway.
         """
         params = self.params if params is None else params
+        n = self.X.shape[-2]
+        explicit_inv = n <= _EXPLICIT_LINV_MAX_N
 
         def one(out: int):
             p = jax.tree_util.tree_map(lambda a: a[..., out], params)
@@ -193,9 +207,13 @@ class SingleTaskGP(struct.PyTreeNode):
             nd = self._noise_diag(p, out)
             K = self._mask_K(K + nd[..., :, None] * jnp.eye(K.shape[-1], dtype=K.dtype))
             L = psd_safe_cholesky(K)
+            resid = self._mask_vec(self.Y[..., out] - p.mean[..., None])
+            if not explicit_inv:
+                w = solve_triangular(L, resid[..., None])
+                alpha = solve_triangular(L, w, trans=True)[..., 0]
+                return L, alpha, None
             eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
             Linv = solve_triangular(L, eye)
-            resid = self._mask_vec(self.Y[..., out] - p.mean[..., None])
             w = jnp.matmul(
                 Linv, resid[..., None], precision=jax.lax.Precision.HIGHEST
             )
@@ -211,6 +229,8 @@ class SingleTaskGP(struct.PyTreeNode):
             Ls.append(L)
             alphas.append(a)
             Linvs.append(Li)
+        if not explicit_inv:
+            return (jnp.stack(Ls, axis=-3), jnp.stack(alphas, axis=-2))
         return (
             jnp.stack(Ls, axis=-3),
             jnp.stack(alphas, axis=-2),
@@ -285,7 +305,7 @@ class SingleTaskGP(struct.PyTreeNode):
         cache = self.train_chol() if cache is None else cache
         if len(cache) == 3:
             L, alpha, Linv = cache
-        else:  # legacy (L, alpha) caches still work, at trsm speed
+        else:  # (L, alpha) cache: large-n train_chol or legacy callers
             L, alpha = cache
             Linv = None
 

@@ -44,28 +44,53 @@ def cholesky(A: Array, jitter: float = DEFAULT_JITTER) -> Array:
     return jnp.linalg.cholesky(add_jitter(A, jitter))
 
 
+# Above this matrix size, probing every ladder rung eagerly costs more
+# than the factorization it protects — large train covariances carry the
+# likelihood noise floor (>= 1e-4) on their diagonal, so the base rung
+# almost always succeeds and the probe is demand-driven instead.
+_LADDER_PROBE_MAX_N = 256
+
+
 def psd_safe_cholesky(A: Array, base_jitter: float = DEFAULT_JITTER) -> Array:
     """Cholesky with escalating-jitter rescue (reference: linear_operator's
     `psd_safe_cholesky` retry loop).
 
-    The needed jitter level is found under `stop_gradient` by factoring at
-    each rung of a fixed ladder (vectorized — static shapes, no
-    data-dependent control flow), then a single differentiable factorization
-    is done at the selected level. Gradients therefore flow through exactly
-    one Cholesky.
+    The needed jitter level is found under `stop_gradient`, then a single
+    differentiable factorization is done at the selected level —
+    gradients flow through exactly one Cholesky. For n <= 256 every rung
+    of the fixed ladder is probed vectorized (static shapes, no
+    data-dependent control flow). For larger matrices the probe is a
+    `while_loop` that escalates only while the factorization is
+    non-finite: the common case costs ONE probe factorization instead of
+    eight O(n^3) ones (round-3 verdict: the eager ladder dominated
+    `train_chol` at n ~ 10^4).
     """
     ladder = jnp.asarray(_JITTER_LADDER, dtype=A.dtype) + base_jitter
+    top = len(_JITTER_LADDER) - 1
 
-    def try_level(j):
-        L = cholesky(A, jitter=j)
-        ok = jnp.all(jnp.isfinite(L))
-        return ok
+    if A.shape[-1] <= _LADDER_PROBE_MAX_N:
+        def try_level(j):
+            L = cholesky(A, jitter=j)
+            ok = jnp.all(jnp.isfinite(L))
+            return ok
 
-    oks = jax.lax.stop_gradient(jax.vmap(try_level)(ladder))
-    # Select the first successful rung (fall back to the largest).
-    first_ok = jnp.argmax(oks)  # argmax returns first True
-    any_ok = jnp.any(oks)
-    idx = jnp.where(any_ok, first_ok, len(_JITTER_LADDER) - 1)
+        oks = jax.lax.stop_gradient(jax.vmap(try_level)(ladder))
+        # Select the first successful rung (fall back to the largest).
+        first_ok = jnp.argmax(oks)  # argmax returns first True
+        any_ok = jnp.any(oks)
+        idx = jnp.where(any_ok, first_ok, top)
+    else:
+        A_sg = jax.lax.stop_gradient(A)
+
+        def needs_escalation(i):
+            L = jnp.linalg.cholesky(add_jitter(A_sg, ladder[i]))
+            return jnp.logical_and(
+                ~jnp.all(jnp.isfinite(L)), i < top
+            )
+
+        idx = jax.lax.while_loop(
+            needs_escalation, lambda i: i + 1, jnp.asarray(0, jnp.int32)
+        )
     jitter = jax.lax.stop_gradient(ladder[idx])
     return cholesky(A, jitter=jitter)
 

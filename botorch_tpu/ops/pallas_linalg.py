@@ -180,8 +180,9 @@ def _qd_pallas(K: Array, r: Array, n: int):
 
 
 # --------------------------------------------------------------------- #
-# jnp fallback (trace-time unrolled; used off-TPU and for n > _MAX_N
-# via the library's standard lax.linalg path)
+# jnp fallback for n <= _MAX_N (off-TPU backends and small lane batches).
+# Large n never reaches this: `mvn_quad_logdet` routes n > _MAX_N to
+# `_qd_large`, which does not pay the Linv/Kinv VJP residuals in forward.
 # --------------------------------------------------------------------- #
 def _qd_jnp(K: Array, r: Array):
     """K: (B, n, n), r: (B, n) — batched via standard lax.linalg."""
@@ -279,19 +280,46 @@ def _mvn_bwd(res, g):
 _mvn_quad_logdet_b.defvjp(_mvn_fwd, _mvn_bwd)
 
 
+def _qd_large(K: Array, r: Array) -> tuple[Array, Array]:
+    """Large-n path (n > _MAX_N): plain differentiable pipeline.
+
+    The forward does exactly ONE O(n^3) op — the factorization; the
+    right-hand side is a vector, so both triangular solves are O(n^2).
+    Gradients go through JAX's native Cholesky VJP (O(n^3) only when a
+    gradient is actually requested). This replaces the round-3 routing of
+    large n through `_qd_jnp`, whose custom-VJP residuals (explicit
+    triangular inverse AND K^-1) cost two extra O(n^3) ops in the FORWARD
+    pass — pure waste for no-grad evaluations and rejected L-BFGS steps
+    (~5x the necessary linalg work at n = 10240).
+    """
+    L = jnp.linalg.cholesky(K)
+    w = jax.scipy.linalg.solve_triangular(L, r[..., None], lower=True)[..., 0]
+    quad = jnp.sum(w * w, axis=-1)
+    ld = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+    )
+    return quad, ld
+
+
 def mvn_quad_logdet(K: Array, r: Array) -> tuple[Array, Array]:
     r"""`(r^T K^-1 r, log|K|)` for PSD `K: (..., n, n)`, `r: (..., n)`.
 
     One fused Pallas kernel on TPU (n <= 64); arbitrary leading batch
     dims; differentiable in both arguments (closed-form VJP — no
-    factorization in the backward pass). `K` must already include noise/
-    jitter on its diagonal. This is THE primitive under every exact-GP
-    marginal likelihood (`SingleTaskGP.mll`) and the SAAS NUTS potential
-    (`models/fully_bayesian.py`), replacing the reference's
-    ATen `cholesky` + `triangular_solve` pipeline (SURVEY §3.1-3.2).
+    factorization in the backward pass). For n > 64 the standard
+    `lax.linalg` pipeline is used with native autodiff, so the forward
+    pass is a single factorization (see `_qd_large`). `K` must already
+    include noise/jitter on its diagonal. This is THE primitive under
+    every exact-GP marginal likelihood (`SingleTaskGP.mll`) and the SAAS
+    NUTS potential (`models/fully_bayesian.py`), replacing the
+    reference's ATen `cholesky` + `triangular_solve` pipeline
+    (SURVEY §3.1-3.2).
     """
     batch = K.shape[:-2]
     n = K.shape[-1]
+    if n > _MAX_N:
+        rb = jnp.broadcast_to(r, (*batch, n))
+        return _qd_large(K, rb)
     Kb = K.reshape((-1, n, n))
     rb = jnp.broadcast_to(r, (*batch, n)).reshape((-1, n))
     quad, ld = _mvn_quad_logdet_b(Kb, rb)
