@@ -153,11 +153,13 @@ def expectation_posterior_transform(n_w: int):
 
 
 def mvar_risk(n_w: int, alpha: float = 0.8):
-    """Coordinatewise multivariate value-at-risk over the perturbation set
-    (reference `multi_output_risk_measures.py:232` `MVaR`; this is the
-    independent-marginal approximation of the MVaR set — the exact
-    set-valued MVaR is a Pareto frontier of outcome vectors; its
-    scalarized workhorse is `mars_risk`)."""
+    """Coordinatewise multivariate value-at-risk over the perturbation set:
+    the independent-marginal approximation of the MVaR set (fast path —
+    one sort). For correlated outputs the coordinatewise VaR vector can
+    dominate far fewer than `alpha` of the scenarios; use
+    `mvar_exact_risk` (the reference's set-valued `MVaR`,
+    `multi_output_risk_measures.py:232`) when exactness matters, or
+    `mars_risk` for the scalarized workhorse."""
     k = int(jnp.ceil(n_w * alpha)) - 1
 
     def obj(samples: Array) -> Array:
@@ -166,6 +168,120 @@ def mvar_risk(n_w: int, alpha: float = 0.8):
         s = samples.reshape(*samples.shape[:-2], -1, n_w, m)
         vals = jnp.sort(s, axis=-2)  # per output over perturbations
         return vals[..., n_w - 1 - k, :]
+
+    return obj
+
+
+def _mvar_block(
+    Y: Array, n_w: int, alpha_count: int, filter_dominated: bool
+) -> tuple[Array, Array]:
+    """Exact MVaR of ONE perturbation block `Y: (n_w, m)` (maximization
+    convention), as a padded static-shape computation.
+
+    Returns `(points (n_w, m), count ())`: the non-dominated alpha-level
+    points of the sample grid, brought to the front and padded by
+    repeating the last valid entry (the reference's padding rule,
+    `multi_output_risk_measures.py:522-526`). Values carry no gradient —
+    `mvar_exact_risk` re-maps them onto sample coordinates.
+    """
+    m = Y.shape[-1]
+    n_points = n_w - alpha_count + 1
+    Y = jax.lax.stop_gradient(Y)
+    # Points in MVaR are bounded above by the per-output independent VaR,
+    # so only the bottom `n_points` values per output can participate
+    # (reference `get_mvar_set_vectorized :414-420`).
+    Y_sorted = jnp.sort(Y, axis=0)[:n_points]  # (n_points, m)
+    mesh = jnp.meshgrid(*[Y_sorted[:, i] for i in range(m)], indexing="ij")
+    grid = jnp.stack([g.reshape(-1) for g in mesh], axis=-1)  # (G, m)
+    # non-normalized multivariate CDF of every grid point: the count of
+    # samples that dominate-or-equal it coordinatewise (`:444-445`)
+    cdf = jnp.sum(
+        jnp.all(Y[:, None, :] >= grid[None, :, :], axis=-1), axis=0
+    )
+    # alpha-level selection; if no point sits exactly at alpha_count,
+    # fall back to the smallest alpha' > alpha (`:452-456`)
+    has_eq = jnp.any(cdf == alpha_count)
+    above = jnp.where(cdf >= alpha_count, cdf, n_w + 1)
+    thr = jnp.where(has_eq, alpha_count, jnp.min(above))
+    sel = cdf == thr
+    G = grid.shape[0]
+    if filter_dominated:
+        ge = jnp.all(grid[:, None, :] >= grid[None, :, :], axis=-1)
+        gt = jnp.any(grid[:, None, :] > grid[None, :, :], axis=-1)
+        dominated = jnp.any(sel[:, None] & ge & gt, axis=0)  # (G,)
+        sel = sel & ~dominated
+    # drop exact duplicates (keep the first occurrence)
+    eq = jnp.all(grid[:, None, :] == grid[None, :, :], axis=-1)
+    lower = jnp.tril(jnp.ones((G, G), bool), k=-1)
+    dup = jnp.any(sel[:, None] & eq & lower, axis=0)
+    sel = sel & ~dup
+    # bring selected points to the front, pad by repeating the last one
+    order = jnp.argsort(~sel, stable=True)
+    pts = grid[order]
+    count = jnp.sum(sel)
+    idx = jnp.minimum(jnp.arange(n_w), count - 1)
+    return pts[jnp.clip(idx, 0, G - 1)], count
+
+
+def mvar_exact_risk(
+    n_w: int,
+    alpha: float = 0.8,
+    expectation: bool = False,
+    filter_dominated: bool = True,
+):
+    """Exact set-valued multivariate Value-at-Risk [Prekopa2012MVaR]
+    (reference `multi_output_risk_measures.py:232` `MVaR`,
+    `get_mvar_set_vectorized :389-463`): the non-dominated set of points
+    whose multivariate CDF over the `n_w` perturbation samples is >=
+    `ceil(alpha * n_w)`.
+
+    Unlike `mvar_risk` (the coordinatewise independent-marginal
+    approximation, which for correlated outputs can return an infeasible
+    VaR vector), this computes the true MVaR set per `n_w` block. Static
+    shapes: the set is always padded to `n_w` rows by repeating its last
+    element — the reference's `pad_to_n_w=True` mode (`:273-277,503`); if
+    the set somehow exceeds `n_w` points (possible only for m >= 3) it is
+    truncated. `expectation=True` returns the mean of the set instead
+    ([Cousin2013MVaR], `:264-266`), one row per candidate.
+
+    Gradients: MVaR values are coordinates of input samples; each output
+    entry is re-mapped onto the mean of the matching sample coordinates
+    (the approximate-gradient scheme of [Daulton2022MARS], reference
+    `make_differentiable :465-481`).
+
+    Maps `samples (..., q * n_w, m)` to `(..., q * n_w, m)` (or
+    `(..., q, m)` with `expectation`).
+    """
+    alpha_count = int(-(-n_w * alpha // 1))  # ceil
+    if not 0 < alpha <= 1:
+        raise ValueError("`alpha` must be in (0.0, 1.0]")
+
+    def obj(samples: Array) -> Array:
+        m = samples.shape[-1]
+        lead = samples.shape[:-2]
+        q = samples.shape[-2] // n_w
+        blocks = samples.reshape(-1, n_w, m)  # (B*q, n_w, m)
+        pts, counts = jax.vmap(
+            lambda Y: _mvar_block(Y, n_w, alpha_count, filter_dominated)
+        )(blocks)
+        # differentiable re-mapping: every selected coordinate equals
+        # some sample coordinate in its block; replace it by the mean of
+        # the matching samples so gradients flow (reference
+        # `make_differentiable`)
+        match = jax.lax.stop_gradient(
+            blocks[:, :, None, :] == pts[:, None, :, :]
+        )  # (B*q, n_w, k', m)
+        cnt = jnp.maximum(jnp.sum(match, axis=1), 1)
+        mvars = jnp.sum(jnp.where(match, blocks[:, :, None, :], 0.0), axis=1) / cnt
+        if expectation:
+            valid = (
+                jnp.arange(n_w)[None, :, None] < counts[:, None, None]
+            )
+            mvars = jnp.sum(
+                jnp.where(valid, mvars, 0.0), axis=1
+            ) / jnp.maximum(counts, 1)[:, None]
+            return mvars.reshape(*lead, q, m)
+        return mvars.reshape(*lead, q * n_w, m)
 
     return obj
 

@@ -67,6 +67,37 @@ class ModelList(struct.PyTreeNode):
         return ModelList(models=tuple(self.models[i] for i in idcs))
 
 
+class ModelDict(struct.PyTreeNode):
+    """Lightweight container mapping model names to models (reference
+    `models/model.py:684` `ModelDict`). No joint posterior — access
+    sub-models by name; any model type (incl. ModelList) is accepted.
+    Registered as a pytree, so it jits/vmaps like every other container.
+    """
+
+    models: dict = struct.field(default_factory=dict)
+
+    def __getitem__(self, name: str):
+        return self.models[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.models
+
+    def __len__(self) -> int:
+        return len(self.models)
+
+    def __iter__(self):
+        return iter(self.models)
+
+    def keys(self):
+        return self.models.keys()
+
+    def values(self):
+        return self.models.values()
+
+    def items(self):
+        return self.models.items()
+
+
 def model_list_to_batched(model_list: ModelList) -> SingleTaskGP:
     """Convert same-X single-output models to one batched model
     (reference `converter.py:137`)."""

@@ -97,8 +97,9 @@ def generate_turbo_candidates(
     """One TuRBO candidate-generation step in the unit cube.
 
     Returns `(q, d)` candidates chosen by Thompson sampling over the
-    perturbation set (pathwise for exact GPs; joint posterior draw for
-    models without a pathwise representation, e.g. SVGP).
+    perturbation set (pathwise for exact GPs and SVGPs — the latter via
+    variational pathwise conditioning; joint posterior draw for models
+    without a pathwise representation, e.g. ensembles).
     """
     d = X_center.shape[-1]
     k_pert, k_mask, k_ts = jax.random.split(key, 3)
@@ -132,7 +133,14 @@ def generate_turbo_candidates(
     mask = mask | forced
     X_cand = jnp.where(mask, pert, X_center)
 
-    method = "pathwise" if isinstance(model, SingleTaskGP) else "joint"
+    from botorch_tpu.models.approximate_gp import SVGP
+
+    # exact GPs AND SVGPs have pathwise representations (r4: variational
+    # pathwise conditioning, `sampling/pathwise.py`); other models (e.g.
+    # ensembles) fall back to a joint posterior draw
+    method = (
+        "pathwise" if isinstance(model, (SingleTaskGP, SVGP)) else "joint"
+    )
     return max_posterior_sampling(
         model, X_cand, k_ts, num_samples=q, method=method,
         num_features=num_features,

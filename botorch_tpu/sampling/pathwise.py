@@ -89,14 +89,105 @@ class MatheronPath(struct.PyTreeNode):
         return jnp.moveaxis(out, -1, 0)  # (P, ...)
 
 
+class SVGPMatheronPath(struct.PyTreeNode):
+    """Posterior sample paths of a sparse variational GP.
+
+    Variational pathwise conditioning ([wilson2020efficiently];
+    reference `pathwise/update_strategies.py:41-180` `gaussian_update`
+    dispatch for `ApproximateGPyTorchModel`): the data-update anchors are
+    the INDUCING locations and the update weights come from a sample of
+    the variational distribution `q(u)` — no observation-noise draw
+    (inducing values are noiseless).
+    """
+
+    model: "object"  # SVGP pytree (kept untyped to avoid a cyclic import)
+    W: Array  # (L, d)
+    b: Array  # (L,)
+    theta: Array  # (P, L)
+    v: Array  # (P, M) update weights Kzz^-1 (u - mean - prior(Z))
+    feature_scale: Array  # ()
+
+    def _features(self, x: Array) -> Array:
+        return self.feature_scale * jnp.cos(x @ self.W.T + self.b)
+
+    def prior(self, x: Array) -> Array:
+        return self._features(x) @ self.theta.T
+
+    def __call__(self, x: Array) -> Array:
+        m = self.model
+        phi = self._features(x)  # (..., L)
+        prior = phi @ self.theta.T  # (..., P)
+        Kxz = m._k(jnp.atleast_2d(x), m.Z)  # (..., M)
+        update = Kxz @ self.v.T  # (..., P)
+        f_std = m.mean_const + prior + update
+        out = m.Y_loc + m.Y_scale * f_std
+        return jnp.moveaxis(out, -1, 0)  # (P, ...)
+
+
+def _draw_matheron_paths_svgp(model, key, num_paths, num_features):
+    """Pathwise draws for the whitened SVGP (`models/approximate_gp.py`).
+
+    Whitened variational sample: `u = mean_const + Lzz (nu_mean + L_var z)`
+    with `z ~ N(0, I)`; update weights `v = Kzz^-1 (u - mean_const -
+    prior(Z))` (reference `update_strategies.py:41` with zero noise
+    covariance)."""
+    from botorch_tpu.ops.chol import add_jitter as _aj
+
+    k_sw, k_th, k_u = jax.random.split(key, 3)
+    W, b = _spectral_weights(
+        k_sw, model.kernel, model.lengthscale, num_features
+    )
+    scale = jnp.sqrt(2.0 * model.outputscale / num_features)
+    theta = jax.random.normal(k_th, (num_paths, num_features))
+
+    Z = model.Z
+    phiZ = scale * jnp.cos(Z @ W.T + b)  # (M, L)
+    priorZ = phiZ @ theta.T  # (M, P)
+    # sample q(u) in the whitened parameterization
+    z = jax.random.normal(k_u, (num_paths, model.num_inducing))
+    nu_s = model.nu_mean[:, None] + model.L_var @ z.T  # (M, P)
+    Kzz = _aj(model._k(Z, Z), 1e-5)
+    Lzz = jnp.linalg.cholesky(Kzz)
+    u_centered = Lzz @ nu_s  # (M, P), u = mean_const + u_centered
+    v = cholesky_solve(Lzz, u_centered - priorZ)  # (M, P)
+    return SVGPMatheronPath(
+        model=model, W=W, b=b, theta=theta, v=v.T, feature_scale=scale
+    )
+
+
+class ModelListMatheronPath(struct.PyTreeNode):
+    """Per-submodel Matheron paths of a `ModelList`, stacked on the
+    output axis (reference `pathwise/prior_samplers.py:35` ModelList
+    dispatch): `__call__(x) -> (P, ..., m)`."""
+
+    paths: tuple
+
+    def __call__(self, x: Array) -> Array:
+        return jnp.stack([p(x) for p in self.paths], axis=-1)
+
+
 def draw_matheron_paths(
-    model: SingleTaskGP,
+    model,
     key: Array,
     num_paths: int,
     num_features: int = 1024,
-) -> MatheronPath:
+):
     """Draw `num_paths` posterior sample paths (reference
-    `pathwise/posterior_samplers.py:147`). Single-output models."""
+    `pathwise/posterior_samplers.py:147`). Dispatches on the model type:
+    exact `SingleTaskGP` (Matheron data update over train points), SVGP
+    (variational pathwise conditioning over inducing points), and
+    `ModelList` (per-submodel paths stacked on the output axis)."""
+    from botorch_tpu.models.approximate_gp import SVGP
+    from botorch_tpu.models.model_list import ModelList
+
+    if isinstance(model, SVGP):
+        return _draw_matheron_paths_svgp(model, key, num_paths, num_features)
+    if isinstance(model, ModelList):
+        keys = jax.random.split(key, len(model.models))
+        return ModelListMatheronPath(paths=tuple(
+            draw_matheron_paths(m, k, num_paths, num_features)
+            for m, k in zip(model.models, keys)
+        ))
     if model.num_outputs != 1:
         raise ValueError("pathwise sampling supports single-output models")
     p = jax.tree_util.tree_map(lambda a: a[..., 0], model.params)

@@ -74,6 +74,51 @@ def test_pathwise_moments_match_posterior():
     np.testing.assert_array_equal(np.asarray(paths(Xt)), vals)
 
 
+def test_svgp_pathwise_moments_match_posterior():
+    # variational pathwise conditioning (reference
+    # `pathwise/update_strategies.py:41-180`): path moments at test points
+    # must match the SVGP posterior within MC error
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(300, 2)), jnp.float32)
+    f = jnp.sin(4 * X[:, 0]) + X[:, 1]
+    Y = f + 0.05 * jnp.asarray(rng.normal(size=300), jnp.float32)
+    svgp = fit_svgp(make_svgp(X, Y, num_inducing=32), jax.random.PRNGKey(0),
+                    steps=200, batch_size=128)
+    paths = draw_matheron_paths(svgp, jax.random.PRNGKey(1),
+                                num_paths=1500, num_features=512)
+    Xt = jnp.asarray(rng.uniform(size=(6, 2)), jnp.float32)
+    vals = np.asarray(paths(Xt))  # (P, 6)
+    post = svgp.posterior(Xt)
+    np.testing.assert_allclose(
+        vals.mean(0), np.asarray(post.mean[:, 0]), atol=0.08
+    )
+    pv = np.asarray(post.variance[:, 0])
+    assert np.all(np.abs(vals.var(0) - pv) <= 0.05 + 0.15 * pv), (
+        vals.var(0), pv
+    )
+    # determinism of a drawn path
+    np.testing.assert_array_equal(np.asarray(paths(Xt)), vals)
+
+
+def test_model_list_pathwise_paths():
+    X, _ = _data()
+    Y1, Y2 = jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])
+    m1 = fit_gp(make_gp(X, Y1[:, None]), jax.random.PRNGKey(0),
+                num_restarts=2, maxiter=20)
+    m2 = fit_gp(make_gp(X, Y2[:, None]), jax.random.PRNGKey(1),
+                num_restarts=2, maxiter=20)
+    ml = ModelList(models=(m1, m2))
+    paths = draw_matheron_paths(ml, jax.random.PRNGKey(2), num_paths=800,
+                                num_features=256)
+    Xt = X[:4]
+    vals = np.asarray(paths(Xt))  # (P, 4, 2)
+    assert vals.shape == (800, 4, 2)
+    post = ml.posterior(Xt)
+    np.testing.assert_allclose(
+        vals.mean(0), np.asarray(post.mean), atol=0.08
+    )
+
+
 def test_model_list_and_converters():
     X, _ = _data()
     Y1, Y2 = jnp.sin(3 * X[:, 0]), jnp.cos(3 * X[:, 1])

@@ -83,6 +83,59 @@ def test_multitask_transfer():
     assert tc[0, 1] / np.sqrt(tc[0, 0] * tc[1, 1]) > 0.5
 
 
+def test_multitask_lkj_prior():
+    # LKJ task-covariance prior (reference `multitask.py:364-373`): fit
+    # must work with and without it, the prior must change the MAP
+    # objective, and transfer quality must hold under the prior.
+    rng = np.random.default_rng(0)
+    f = lambda x: np.sin(5 * x[:, 0])
+    X0 = rng.uniform(size=(6, 1))
+    X1 = rng.uniform(size=(24, 1))
+    X = np.concatenate([
+        np.concatenate([X0, np.zeros((6, 1))], 1),
+        np.concatenate([X1, np.ones((24, 1))], 1),
+    ])
+    Y = np.concatenate([f(X0), f(X1) + 0.3])
+    Xj = jnp.asarray(X, jnp.float32)
+    Yj = jnp.asarray(Y, jnp.float32)
+    m_plain = make_multitask_gp(Xj, Yj, task_feature=1, num_tasks=2)
+    m_lkj = make_multitask_gp(Xj, Yj, task_feature=1, num_tasks=2,
+                              lkj_eta=0.5)
+    # identical data/params, different priors -> different MAP objective
+    lp_plain = float(m_plain.log_prior())
+    lp_lkj = float(m_lkj.log_prior())
+    assert np.isfinite(lp_plain) and np.isfinite(lp_lkj)
+    assert abs(lp_plain - lp_lkj) > 1e-4
+    fitted = fit_multitask_gp(m_lkj, maxiter=40)
+    assert fitted.lkj_eta == 0.5  # static field survives the fit
+    Xt = jnp.asarray(rng.uniform(size=(30, 1)), jnp.float32)
+    post = fitted.posterior(Xt, task=0)
+    rmse = float(jnp.sqrt(jnp.mean(
+        (post.mean[:, 0] - jnp.asarray(f(np.asarray(Xt)))) ** 2
+    )))
+    assert rmse < 0.15
+    tc = np.asarray(fitted.task_covar)
+    assert tc[0, 1] / np.sqrt(tc[0, 0] * tc[1, 1]) > 0.5
+
+
+def test_model_dict_container():
+    from botorch_tpu.models import ModelDict
+    from botorch_tpu.models.gp import make_gp
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(8, 2)), jnp.float32)
+    m1 = make_gp(X, jnp.sin(3 * X[:, :1]))
+    m2 = make_gp(X, jnp.cos(3 * X[:, :1]))
+    md = ModelDict(models={"obj": m1, "con": m2})
+    assert set(md.keys()) == {"obj", "con"}
+    assert "obj" in md and len(md) == 2
+    post = md["obj"].posterior(X[:3])
+    assert post.mean.shape == (3, 1)
+    # pytree: jit through the container
+    mean = jax.jit(lambda d: d["con"].posterior(X[:2]).mean)(md)
+    assert mean.shape == (2, 1)
+
+
 def test_contextual_sac():
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.uniform(size=(25, 4)), jnp.float32)

@@ -267,6 +267,108 @@ def test_mvar_and_mars():
     assert np.isfinite(np.asarray(ms)).all()
 
 
+def _brute_force_mvar(Y, alpha):
+    """Reference-semantics MVaR of one block (numpy, full-grid CDF
+    counting): non-dominated points of the sample grid with CDF >=
+    ceil(alpha n_w) (`multi_output_risk_measures.py:298-387`)."""
+    import itertools as it
+    import math
+
+    n_w, m = Y.shape
+    alpha_count = math.ceil(alpha * n_w)
+    grid = np.asarray(
+        [list(p) for p in it.product(*[sorted(Y[:, j]) for j in range(m)])]
+    )
+    cdf = (Y[:, None, :] >= grid[None, :, :]).all(-1).sum(0)
+    if (cdf == alpha_count).any():
+        thr = alpha_count
+    else:
+        thr = cdf[cdf > alpha_count].min()
+    pts = grid[cdf == thr]
+    keep = []
+    for i, p in enumerate(pts):
+        dom = any(
+            (q >= p).all() and (q > p).any() for j, q in enumerate(pts)
+        )
+        if not dom:
+            keep.append(tuple(p))
+    return sorted(set(keep))
+
+
+def test_mvar_exact_matches_brute_force_on_correlated_samples():
+    from botorch_tpu.acquisition.objective import mvar_exact_risk, mvar_risk
+
+    rng = np.random.default_rng(3)
+    n_w, m, alpha = 8, 2, 0.75
+    # strongly correlated outputs — the regime where the coordinatewise
+    # approximation is infeasible (dominates < alpha of the scenarios)
+    z = rng.normal(size=(5, n_w, 1))
+    Y = np.concatenate([z + 0.1 * rng.normal(size=(5, n_w, 1)),
+                        -z + 0.1 * rng.normal(size=(5, n_w, 1))], axis=-1)
+    s = jnp.asarray(Y.reshape(1, 5 * n_w, m), jnp.float32)
+    out = np.asarray(mvar_exact_risk(n_w, alpha)(s))  # (1, 5*n_w, m)
+    assert out.shape == (1, 5 * n_w, m)
+    for b in range(5):
+        expected = _brute_force_mvar(Y[b].astype(np.float32), alpha)
+        got = sorted(
+            set(map(tuple, out[0, b * n_w : (b + 1) * n_w]))
+        )
+        assert len(got) == len(expected), (b, got, expected)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6
+        )
+        # every exact MVaR point dominates >= alpha of the scenarios ...
+        Yb = Y[b].astype(np.float32)
+        for p in got:
+            frac = (Yb >= np.asarray(p, np.float32)).all(-1).mean()
+            assert frac >= alpha - 1e-6
+    # ... while the coordinatewise VaR vector here dominates far fewer
+    cw = np.asarray(mvar_risk(n_w, alpha)(s))[0]
+    feas = [
+        (Y[b].astype(np.float32) >= cw[b]).all(-1).mean() for b in range(5)
+    ]
+    assert min(feas) < alpha  # documents why the exact version exists
+
+    # expectation mode: mean of the (tight) set, one row per block
+    exp_out = np.asarray(
+        mvar_exact_risk(n_w, alpha, expectation=True)(s)
+    )
+    assert exp_out.shape == (1, 5, m)
+    for b in range(5):
+        expected = np.mean(
+            np.asarray(_brute_force_mvar(Y[b].astype(np.float32), alpha)),
+            axis=0,
+        )
+        np.testing.assert_allclose(exp_out[0, b], expected, rtol=1e-4,
+                                   atol=1e-5)
+
+    # gradients flow onto the samples (Daulton2022 approximate-gradient)
+    g = jax.grad(lambda ss: jnp.sum(mvar_exact_risk(n_w, alpha)(ss)))(s)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+
+
+def test_mvar_exact_m3_and_fallback_level():
+    from botorch_tpu.acquisition.objective import mvar_exact_risk
+
+    rng = np.random.default_rng(0)
+    n_w, m = 6, 3
+    Y = rng.normal(size=(2, n_w, m))
+    s = jnp.asarray(Y.reshape(1, 2 * n_w, m), jnp.float32)
+    # alpha such that ceil(alpha n_w) may have no exact-level point —
+    # exercises the smallest-alpha'-above fallback
+    for alpha in (0.5, 0.9, 1.0):
+        out = np.asarray(mvar_exact_risk(n_w, alpha)(s))
+        assert out.shape == (1, 2 * n_w, m)
+        for b in range(2):
+            expected = _brute_force_mvar(Y[b].astype(np.float32), alpha)
+            got = sorted(set(map(tuple, out[0, b * n_w : (b + 1) * n_w])))
+            assert len(got) == len(expected), (alpha, b)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6
+            )
+
+
 def test_pfes_truncated_entropy_matches_monte_carlo():
     # Entropy of a Gaussian truncated to the dominated staircase: the
     # closed form must match direct MC estimation of -E[log p_trunc].
