@@ -170,6 +170,38 @@ def main():
 
     mo_log_hv_diff = _math.log10(max(mo_prob.max_hv - mo_hv_mean, 1e-12))
 
+    # Config-4b (r4): qLogNEHVI m=3 compiled loop on DTLZ2 (d=4, q=2
+    # sequential, 15 iters / 40 evals, in-graph padded Lacour cells).
+    # Driver-captured every round per the r3 verdict (weak #2); the bar is
+    # the measured torch+scipy CPU replica
+    # (`reference_cpu_baseline.py --config qnehvi3`) at identical budgets
+    # — see BASELINE.md.
+    from botorch_tpu.test_functions.multi_objective import DTLZ2
+
+    m3_prob = DTLZ2(dim=4, num_objectives=3, negate=True)
+    m3_iters, m3_q = 15, 2
+    m3_cfg = dict(
+        num_restarts=4, raw_samples=32, fit_restarts=2,
+        fit_maxiter=15, acq_maxiter=15, mc_samples=64, q=m3_q,
+    )
+    m3_state = run_mo_bo_loop(
+        m3_prob, d=4, m=3, ref_point=m3_prob.ref_point, n_init=10,
+        iterations=m3_iters, key=jax.random.PRNGKey(0), **m3_cfg,
+    )
+    jax.block_until_ready(m3_state.Y)  # compile warmup
+    m3_times, m3_hvs = [], []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        m3_state = run_mo_bo_loop(
+            m3_prob, d=4, m=3, ref_point=m3_prob.ref_point, n_init=10,
+            iterations=m3_iters, key=jax.random.PRNGKey(rep + 1), **m3_cfg,
+        )
+        jax.block_until_ready(m3_state.Y)
+        m3_times.append(time.perf_counter() - t0)
+        m3_hvs.append(observed_hypervolume(m3_state, m3_prob.ref_point))
+    m3_iters_per_s = m3_iters / min(m3_times)
+    m3_hv_frac = (sum(m3_hvs) / len(m3_hvs)) / m3_prob.max_hv
+
     # Config-5: TuRBO-style Thompson candidate throughput at n=2048.
     from botorch_tpu.models.gp import make_gp
     from botorch_tpu.optim.turbo import generate_turbo_candidates, turbo_init
@@ -231,6 +263,60 @@ def main():
     jax.block_until_ready(out6)
     svgp_cand_per_s = 64 / ((time.perf_counter() - t0) / 10)
 
+    # Large-n exact-GP MAP fit: wall time AND achieved FLOP/s from XLA's
+    # own cost model (r3 verdict weak #5 — utilization accounting). The
+    # forward is single-factorization since r4 (`ops/pallas_linalg.py`);
+    # dots are pinned to float32 HIGHEST precision, so compare against the
+    # chip's f32 peak, not the bf16 headline number.
+    from botorch_tpu.fit import fit_gp as _fit_gp
+
+    def _flops_of(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+
+    fit_metrics = {}
+    for n_big in (4096, 10240):
+        Xb = jnp.asarray(rng.uniform(size=(n_big, 10)), jnp.float32)
+        Yb = (-jnp.sum((Xb - 0.4) ** 2, axis=-1)
+              + 0.01 * jnp.asarray(rng.normal(size=(n_big,)), jnp.float32))
+        mb = make_gp(Xb, Yb[:, None])
+        fitter = jax.jit(
+            lambda k, mb=mb: _fit_gp(mb, k, num_restarts=2, maxiter=25).params
+        )
+        compiled = fitter.lower(jax.random.PRNGKey(0)).compile()
+        flops = _flops_of(compiled)
+        jax.block_until_ready(compiled(jax.random.PRNGKey(0)))  # warmup
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(jax.random.PRNGKey(1)))
+        dt = time.perf_counter() - t0
+        fit_metrics[f"fit_n{n_big}_s"] = round(dt, 2)
+        fit_metrics[f"fit_n{n_big}_tflops_per_s"] = round(flops / dt / 1e12, 2)
+
+    # Distributed blocked Cholesky (single-chip mesh here; the 8-device
+    # path is exercised by dryrun_multichip) — achieved FLOP/s at n=8192.
+    from botorch_tpu.parallel.distributed_chol import distributed_gp_solve
+    from botorch_tpu.parallel.sharding import make_mesh
+
+    nK = 8192
+    A = rng.normal(size=(nK, nK)).astype("float32")
+    Kd = jnp.asarray(A @ A.T / nK) + 2.0 * jnp.eye(nK, dtype=jnp.float32)
+    yd = jnp.asarray(rng.normal(size=nK).astype("float32"))
+    mesh1 = make_mesh(1)
+    with mesh1:
+        solve = jax.jit(lambda K, y: distributed_gp_solve(K, y, mesh1,
+                                                          jitter=0.0)[1])
+        compiled_s = solve.lower(Kd, yd).compile()
+        chol_flops = _flops_of(compiled_s)
+        jax.block_until_ready(compiled_s(Kd, yd))
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled_s(Kd, yd))
+        chol_dt = time.perf_counter() - t0
+    fit_metrics["dist_chol_n8192_tflops_per_s"] = round(
+        chol_flops / chol_dt / 1e12, 2
+    )
+
     print(json.dumps({
         "metric": "bo_iters_per_s_branin_logei",
         "value": round(iters_per_s, 3),
@@ -245,9 +331,12 @@ def main():
         "qnehvi_mo_evals_per_s": round(mo_evals_per_s, 3),
         "qnehvi_hv_frac_of_max": round(mo_hv_frac, 4),
         "qnehvi_log10_hv_diff": round(mo_log_hv_diff, 4),
+        "qnehvi_m3_iters_per_s": round(m3_iters_per_s, 3),
+        "qnehvi_m3_hv_frac": round(m3_hv_frac, 4),
         "turbo_candidates_per_s_n2048": round(cand_per_s, 1),
         "svgp_fit_steps_per_s_n16384": round(svgp_steps_per_s, 1),
         "turbo_svgp_candidates_per_s_n16384": round(svgp_cand_per_s, 1),
+        **fit_metrics,
         "device": str(jax.devices()[0]),
     }))
 

@@ -37,6 +37,31 @@ from scipy.stats import qmc
 
 torch.set_default_dtype(torch.float64)
 
+# The MC replicas below borrow the repo's host-side numpy Lacour cell
+# decomposition; make the repo importable when run as a script, and pin
+# jax to CPU before any botorch_tpu import so this script never touches
+# the TPU.
+import os  # noqa: E402
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def _is_nd_np(Y: np.ndarray) -> np.ndarray:
+    """Boolean non-dominated mask (maximization), plain numpy."""
+    n = Y.shape[0]
+    dominated = np.zeros(n, bool)
+    for i in range(n):
+        if dominated[i]:
+            continue
+        dom = (Y >= Y[i]).all(-1) & (Y > Y[i]).any(-1)
+        dominated[i] = dom.any()
+    return ~dominated
+
 BRANIN_OPT = 0.397887
 
 
@@ -177,13 +202,374 @@ def run(iters=25, n_init=10, seed=0):
     return iters / dt, -float(Y.max()) - BRANIN_OPT
 
 
+# ---------------------------------------------------------------------------
+# Monte-Carlo replicas (round-4): qLogNEI q=4 Hartmann-6 and qLogNEHVI
+# BraninCurrin (m=2) / DTLZ2 (m=3) loops, at the SAME budgets as the
+# corresponding bench.py configs, so BASELINE.md has a measured CPU number
+# beside every BENCH_r0N.json field.
+#
+# The compute pattern mirrors the reference exactly:
+#   * joint posterior sampling over [X_baseline; X_cand] with ONE fixed
+#     qMC base-sample matrix per iteration (the SAA contract of
+#     `botorch/sampling/base.py` + `get_matheron_path`-free MC samplers);
+#     because Cholesky factors are lower-triangular, the baseline block of
+#     the joint draw is candidate-independent — the same property the
+#     reference's CachedCholesky machinery (`acquisition/cached_cholesky
+#     .py:66`) exploits, so the replica is not paying work the reference
+#     avoids;
+#   * qLogNEI (`acquisition/logei.py:237`): per-sample incumbent = max
+#     over the baseline block's noiseless draws, smoothed-max over q,
+#     log-mean over samples;
+#   * qLogNEHVI (`acquisition/multi_objective/monte_carlo.py:325` +
+#     `logei.py`): per-MC-sample Lacour non-dominated cell decompositions
+#     of the baseline draws, computed ONCE per greedy pick (the
+#     reference's construction-time cache), then smoothed per-cell HVI of
+#     the candidate inside scipy L-BFGS-B; sequential-greedy q-batches via
+#     X_pending exactly like `optimize_acqf(..., sequential=True)`.
+#
+# Cell decompositions reuse the repo's host-side numpy Lacour
+# implementation (`botorch_tpu/utils/multi_objective.py:227`), which is
+# value-parity-tested against the reference's FastNondominatedPartitioning
+# — a deterministic geometric subroutine, not a modeling choice.
+# ---------------------------------------------------------------------------
+
+HARTMANN6_OPT = 3.32237
+
+
+def hartmann6(x: torch.Tensor) -> torch.Tensor:
+    A = torch.tensor([
+        [10.0, 3.0, 17.0, 3.5, 1.7, 8.0],
+        [0.05, 10.0, 17.0, 0.1, 8.0, 14.0],
+        [3.0, 3.5, 1.7, 10.0, 17.0, 8.0],
+        [17.0, 8.0, 0.05, 10.0, 0.1, 14.0],
+    ])
+    P = 1e-4 * torch.tensor([
+        [1312.0, 1696.0, 5569.0, 124.0, 8283.0, 5886.0],
+        [2329.0, 4135.0, 8307.0, 3736.0, 1004.0, 9991.0],
+        [2348.0, 1451.0, 3522.0, 2883.0, 3047.0, 6650.0],
+        [4047.0, 8828.0, 8732.0, 5743.0, 1091.0, 381.0],
+    ])
+    alpha = torch.tensor([1.0, 1.2, 3.0, 3.2])
+    inner = ((x.unsqueeze(-2) - P) ** 2 * A).sum(-1)
+    return (alpha * torch.exp(-inner)).sum(-1)  # maximized
+
+
+def currin(x: torch.Tensor) -> torch.Tensor:
+    x0, x1 = x[..., 0], x[..., 1]
+    num = 2300 * x0**3 + 1900 * x0**2 + 2092 * x0 + 60
+    den = 100 * x0**3 + 500 * x0**2 + 4 * x0 + 20
+    fac = 1.0 - torch.exp(-1.0 / (2.0 * x1.clamp_min(1e-12)))
+    return -(fac * num / den)  # negated (maximize)
+
+
+def branin_currin(x: torch.Tensor) -> torch.Tensor:
+    return torch.stack([branin(x), currin(x)], -1)
+
+
+def dtlz2_m3(x: torch.Tensor) -> torch.Tensor:
+    """DTLZ2 d=4 m=3, negated (maximize), unit-cube inputs."""
+    m = 3
+    g = ((x[..., m - 1:] - 0.5) ** 2).sum(-1)
+    fs = []
+    for i in range(m):
+        f = 1.0 + g
+        for j in range(m - 1 - i):
+            f = f * torch.cos(0.5 * math.pi * x[..., j])
+        if i > 0:
+            f = f * torch.sin(0.5 * math.pi * x[..., m - 1 - i])
+        fs.append(f)
+    return -torch.stack(fs, -1)
+
+
+def _nehvi_cells(f_b: torch.Tensor, ref: np.ndarray, max_cells: int):
+    """Per-MC-sample Lacour cells of the baseline draws, padded to a
+    common cell count (degenerate zero-volume pad cells)."""
+    from botorch_tpu.utils.multi_objective import (
+        nondominated_hypercell_bounds_np,
+    )
+
+    los, ups = [], []
+    for i in range(f_b.shape[0]):
+        Y = f_b[i].detach().numpy()
+        nd = _is_nd_np(Y)
+        Ynd = Y[nd]
+        keep = (Ynd > ref).all(-1)
+        if keep.any():
+            lo, up = nondominated_hypercell_bounds_np(
+                Ynd[keep], ref, clip_max=1e10
+            )
+        else:
+            lo = ref[None, :] + 0.0
+            up = lo + 0.0  # zero-volume: HVI = full box above ref
+            up = np.broadcast_to(ref[None, :] + 1e10, lo.shape).copy()
+        los.append(torch.tensor(lo))
+        ups.append(torch.tensor(up))
+    C = max(max(t.shape[0] for t in los), 1)
+    lo_pad = torch.zeros(f_b.shape[0], C, f_b.shape[-1], dtype=torch.float64)
+    up_pad = torch.zeros_like(lo_pad)
+    for i, (lo, up) in enumerate(zip(los, ups)):
+        lo_pad[i, : lo.shape[0]] = lo
+        up_pad[i, : up.shape[0]] = up
+        lo_pad[i, lo.shape[0]:] = 0.0
+        up_pad[i, lo.shape[0]:] = 0.0  # zero-volume pad
+    return lo_pad, up_pad
+
+
+class _JointMOSampler:
+    """Per-output exact-GP joint posterior sampler with fixed base
+    samples. Baseline-block draws are candidate-independent (lower-
+    triangular Cholesky), matching the reference's cached-Cholesky SAA."""
+
+    def __init__(self, X, Ys, hypers, z):
+        # X (n, d); Ys (n, m) standardized; z (n_mc, n_tot, m) fixed
+        self.X, self.hypers, self.z = X, hypers, z
+        self.n = X.shape[0]
+        self.Ls, self.alphas = [], []
+        for j, (ls, noise, mean_c) in enumerate(hypers):
+            K = _kernel(X, X, ls) + noise * torch.eye(self.n)
+            L = torch.linalg.cholesky(K)
+            self.Ls.append(L)
+            self.alphas.append(
+                torch.cholesky_solve((Ys[:, j] - mean_c).unsqueeze(-1), L)
+            )
+
+    def joint_samples(self, X_ext):
+        """Noiseless joint draws over X_ext rows: (n_mc, n_ext, m), or
+        batched over a leading restart dim (R, n_mc, n_ext, m) — the
+        reference's t-batch evaluation of all restarts in one tensor op
+        (`optimize_acqf` batch_initial_conditions). X_ext must have the
+        training X as a prefix."""
+        n_ext = X_ext.shape[-2]
+        Xtr = self.X
+        if X_ext.dim() == 3:
+            Xtr = self.X.unsqueeze(0).expand(X_ext.shape[0], -1, -1)
+        outs = []
+        for j, (ls, noise, mean_c) in enumerate(self.hypers):
+            Ks = _kernel(Xtr, X_ext, ls)  # (..., n, n_ext)
+            mu = mean_c + (Ks.mT @ self.alphas[j]).squeeze(-1)
+            v = torch.linalg.solve_triangular(self.Ls[j], Ks, upper=False)
+            Kxx = _kernel(X_ext, X_ext, ls)
+            C = Kxx - v.mT @ v + 1e-8 * torch.eye(n_ext)
+            Lp = torch.linalg.cholesky(C)
+            zj = self.z[:, :n_ext, j]
+            outs.append(mu.unsqueeze(-2) + zj @ Lp.mT)
+        return torch.stack(outs, -1)
+
+
+def _smooth_hvi_q1(y, lo, up, tau=1e-3):
+    """Smoothed HVI of ONE candidate per MC sample: y (n_mc, m),
+    cells (n_mc, C, m). Soft-plus edge smoothing (logei.py fatplus)."""
+    edge = torch.minimum(y.unsqueeze(1), up) - lo
+    edge = tau * torch.nn.functional.softplus(edge / tau)
+    return (edge.prod(-1)).sum(-1)  # (n_mc,)
+
+
+def optimize_qnehvi_scipy(sampler, cells, d, ref_t, num_restarts, raw_samples,
+                          maxiter, seed, X_ext):
+    """One sequential-greedy pick: scipy L-BFGS-B over flattened restarts."""
+    sob = qmc.Sobol(d, scramble=True, seed=seed)
+    raws = torch.tensor(sob.random(raw_samples))
+    lo, up = cells
+
+    def acq(Xq):  # Xq (R, d) -> (R,)
+        R = Xq.shape[0]
+        Xa = torch.cat(
+            [X_ext.unsqueeze(0).expand(R, -1, -1), Xq.unsqueeze(1)], dim=1
+        )
+        f = sampler.joint_samples(Xa)  # (R, n_mc, n_ext+1, m)
+        y = f[:, :, -1, :]  # (R, n_mc, m)
+        edge = torch.minimum(y.unsqueeze(2), up) - lo  # (R, n_mc, C, m)
+        edge = 1e-3 * torch.nn.functional.softplus(edge / 1e-3)
+        hvi = edge.prod(-1).sum(-1)  # (R, n_mc)
+        return torch.log(hvi.mean(-1) + 1e-30)
+
+    with torch.no_grad():
+        vals = acq(raws)
+    w = torch.softmax(vals - vals.mean(), 0)
+    idx = torch.multinomial(w, num_restarts, replacement=False)
+    ics = raws[idx]
+
+    def f_np(v):
+        Xq = torch.tensor(v.reshape(num_restarts, d), requires_grad=True)
+        val = acq(Xq).sum()
+        (-val).backward()
+        return float(-val.detach()), Xq.grad.neg().numpy().ravel().copy()
+
+    res = minimize(f_np, ics.numpy().ravel(), jac=True, method="L-BFGS-B",
+                   bounds=[(0.0, 1.0)] * (num_restarts * d),
+                   options={"maxiter": maxiter})
+    cands = torch.tensor(res.x.reshape(num_restarts, d))
+    with torch.no_grad():
+        fin = acq(cands)
+    return cands[int(fin.argmax())].unsqueeze(0)
+
+
+def run_qnehvi(objective, d, m, ref_point, iters, q, n_init=10, n_mc=32,
+               num_restarts=4, raw_samples=32, fit_maxiter=35,
+               acq_maxiter=15, seed=0):
+    """Host-driven sequential-greedy qLogNEHVI loop (the reference's
+    qNEHVI tutorial pattern). Returns (iters_per_s, observed_hv)."""
+    from botorch_tpu.utils.multi_objective import dominated_hypervolume_np
+
+    rng = np.random.default_rng(seed)
+    X = torch.tensor(rng.uniform(size=(n_init, d)))
+    Y = objective(X)
+    ref = np.asarray(ref_point, np.float64)
+    ref_t = torch.tensor(ref)
+    t0 = time.perf_counter()
+    for it in range(iters):
+        mu, sd = Y.mean(0), Y.std(0, correction=1).clamp_min(1e-8)
+        Ys = (Y - mu) / sd
+        hypers = [
+            fit_gp_scipy(X, Ys[:, j], maxiter=fit_maxiter, restarts=2,
+                         seed=seed * 1000 + it * 10 + j)
+            for j in range(m)
+        ]
+        n = X.shape[0]
+        g = torch.Generator().manual_seed(seed * 777 + it)
+        z = torch.randn(n_mc, n + q, m, generator=g, dtype=torch.float64)
+        sampler = _JointMOSampler(X, Ys, hypers, z)
+        ref_s = (ref_t - mu.numpy()) / sd.numpy()
+        picks = []
+        X_ext = X
+        for j in range(q):
+            with torch.no_grad():
+                f_b = sampler.joint_samples(X_ext)
+            cells = _nehvi_cells(f_b, np.asarray(ref_s), max_cells=512)
+            cand = optimize_qnehvi_scipy(
+                sampler, cells, d, ref_s, num_restarts, raw_samples,
+                acq_maxiter, seed * 999 + it * 10 + j, X_ext,
+            )
+            picks.append(cand)
+            X_ext = torch.cat([X_ext, cand])
+        cand = torch.cat(picks)
+        X = torch.cat([X, cand])
+        Y = torch.cat([Y, objective(cand)])
+    dt = time.perf_counter() - t0
+    Yn = Y.numpy()
+    nd = _is_nd_np(Yn)
+    keep = (Yn[nd] > ref).all(-1)
+    hv = dominated_hypervolume_np(Yn[nd][keep], ref) if keep.any() else 0.0
+    return iters / dt, hv
+
+
+def log_qnei(Xq_b, sampler, best, tau_max=1e-2, tau_relu=1e-6):
+    """qLogNEI over a batch of q-batches: Xq_b (R, q, d), incumbent `best`
+    (n_mc,) from the X-independent baseline block. logei.py:237 pattern."""
+    R, q, d = Xq_b.shape
+    Xa = torch.cat(
+        [sampler.X.unsqueeze(0).expand(R, -1, -1), Xq_b], dim=1
+    )
+    f = sampler.joint_samples(Xa)[:, :, -q:, 0]  # (R, n_mc, q)
+    imp = f - best.unsqueeze(-1)
+    imp_s = tau_relu * torch.nn.functional.softplus(imp / tau_relu)
+    log_imp = torch.log(imp_s + 1e-300)
+    qmax = tau_max * torch.logsumexp(log_imp / tau_max, dim=-1)  # (R, n_mc)
+    return torch.logsumexp(qmax, -1) - math.log(f.shape[1])
+
+
+def run_qnei(iters=15, n_init=16, q=4, n_mc=128, num_restarts=6,
+             raw_samples=64, fit_maxiter=35, acq_maxiter=15, seed=0):
+    """Host-driven qLogNEI q=4 loop on Hartmann-6 (joint q-batch ascent,
+    bench.py config-2 budgets). Returns (iters_per_s, final_regret)."""
+    d = 6
+    rng = np.random.default_rng(seed)
+    X = torch.tensor(rng.uniform(size=(n_init, d)))
+    Y = hartmann6(X)
+    t0 = time.perf_counter()
+    for it in range(iters):
+        mu, sd = Y.mean(), Y.std(correction=1).clamp_min(1e-8)
+        Ys = (Y - mu) / sd
+        hypers = [fit_gp_scipy(X, Ys, maxiter=fit_maxiter, restarts=2,
+                               seed=seed * 1000 + it)]
+        n = X.shape[0]
+        g = torch.Generator().manual_seed(seed * 777 + it)
+        z = torch.randn(n_mc, n + q, 1, generator=g, dtype=torch.float64)
+        sampler = _JointMOSampler(X, Ys.unsqueeze(-1), hypers, z)
+        with torch.no_grad():
+            best = sampler.joint_samples(X)[:, :, 0].max(-1).values
+        sob = qmc.Sobol(q * d, scramble=True, seed=seed * 999 + it)
+        raws = torch.tensor(sob.random(raw_samples)).reshape(raw_samples, q, d)
+        with torch.no_grad():
+            vals = log_qnei(raws, sampler, best)
+        w = torch.softmax(vals - vals.mean(), 0)
+        idx = torch.multinomial(w, num_restarts, replacement=False)
+        ics = raws[idx]
+
+        def f_np(v):
+            Xq = torch.tensor(v.reshape(num_restarts, q, d),
+                              requires_grad=True)
+            val = log_qnei(Xq, sampler, best).sum()
+            (-val).backward()
+            return float(-val.detach()), Xq.grad.neg().numpy().ravel().copy()
+
+        res = minimize(f_np, ics.numpy().ravel(), jac=True, method="L-BFGS-B",
+                       bounds=[(0.0, 1.0)] * (num_restarts * q * d),
+                       options={"maxiter": acq_maxiter})
+        cands = torch.tensor(res.x.reshape(num_restarts, q, d))
+        with torch.no_grad():
+            fin = log_qnei(cands, sampler, best)
+        cand = cands[int(fin.argmax())]
+        X = torch.cat([X, cand])
+        Y = torch.cat([Y, hartmann6(cand)])
+    dt = time.perf_counter() - t0
+    return iters / dt, HARTMANN6_OPT - float(Y.max())
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="logei",
+                   choices=["logei", "qnei", "qnehvi2", "qnehvi3", "all"])
+    p.add_argument("--seeds", type=int, default=1)
+    args = p.parse_args()
+
+    def emit(metric, ips, quality, qname, extra=None):
+        rec = {
+            "metric": metric, "value": round(ips, 4), "unit": "iters/s",
+            qname: round(quality, 5),
+            "note": "torch+scipy replica of the BoTorch 0.11.3 CPU compute "
+                    "path at bench.py budgets (gpytorch not installable "
+                    "here)",
+        }
+        if extra:
+            rec.update(extra)
+        print(json.dumps(rec), flush=True)
+
+    if args.config in ("logei", "all"):
+        ips, regret = run()
+        emit("reference_cpu_bo_iters_per_s_branin_logei", ips, regret,
+             "final_regret")
+    if args.config in ("qnei", "all"):
+        rs = [run_qnei(seed=s) for s in range(args.seeds)]
+        emit("reference_cpu_qnei_q4_hartmann6_iters_per_s",
+             float(np.mean([r[0] for r in rs])),
+             float(np.mean([r[1] for r in rs])), "final_regret",
+             {"seeds": args.seeds,
+              "regrets": [round(r[1], 4) for r in rs]})
+    if args.config in ("qnehvi2", "all"):
+        max_hv = 59.36011874867746
+        rs = [run_qnehvi(branin_currin, d=2, m=2,
+                         ref_point=[-18.0, -6.0], iters=20, q=4, seed=s)
+              for s in range(args.seeds)]
+        emit("reference_cpu_qnehvi_bc_iters_per_s",
+             float(np.mean([r[0] for r in rs])),
+             float(np.mean([r[1] / max_hv for r in rs])), "hv_frac_of_max",
+             {"seeds": args.seeds,
+              "hv_fracs": [round(r[1] / max_hv, 4) for r in rs]})
+    if args.config in ("qnehvi3", "all"):
+        max_hv = 1.1**3 - math.pi / 6.0
+        rs = [run_qnehvi(dtlz2_m3, d=4, m=3,
+                         ref_point=[-1.1, -1.1, -1.1], iters=15, q=2,
+                         seed=s)
+              for s in range(args.seeds)]
+        emit("reference_cpu_qnehvi_dtlz2_m3_iters_per_s",
+             float(np.mean([r[0] for r in rs])),
+             float(np.mean([r[1] / max_hv for r in rs])), "hv_frac_of_max",
+             {"seeds": args.seeds,
+              "hv_fracs": [round(r[1] / max_hv, 4) for r in rs]})
+
+
 if __name__ == "__main__":
-    ips, regret = run()
-    print(json.dumps({
-        "metric": "reference_cpu_bo_iters_per_s_branin_logei",
-        "value": round(ips, 4),
-        "unit": "iters/s",
-        "final_regret": round(regret, 5),
-        "note": "torch+scipy replica of the BoTorch 0.11.3 CPU compute "
-                "path at bench.py budgets (gpytorch not installable here)",
-    }))
+    main()

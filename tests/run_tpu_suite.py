@@ -38,6 +38,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TPU_GATED = [
     "tests/test_pallas_kernels.py",
     "tests/test_pallas_linalg.py",
+    # software-f64 on the chip (r4: the x64 opt-in target actually runs)
+    "tests/test_x64.py::test_x64_software_f64_on_chip",
 ]
 
 

@@ -237,7 +237,7 @@ def test_turbo_compiled_loop_matches_host_loop():
     prob = Ackley(dim=4, negate=True)
     obj = lambda X: prob(unnormalize(X, prob.bounds))
     best_c, best_h = [], []
-    for seed in range(3):
+    for seed in range(6):
         X, Y = run_turbo_compiled(
             obj, d=4, n_init=10, iterations=15,
             key=jax.random.PRNGKey(seed), q=2, n_candidates=256,
@@ -252,10 +252,25 @@ def test_turbo_compiled_loop_matches_host_loop():
             key=jax.random.PRNGKey(seed), q=2, n_candidates=256,
             fit_maxiter=25,
         )
+        # Paired-trajectory guarantee (shared RNG stream): the two loops
+        # must be IDENTICAL up to the first TS-argmax divergence. Any
+        # semantic regression in the compiled path (RNG misalignment,
+        # trust-region update drift) breaks the prefix immediately.
+        diffs = np.abs(np.asarray(X) - np.asarray(Xh)).max(-1)
+        div = np.argmax(diffs > 5e-3) if (diffs > 5e-3).any() else len(diffs)
+        assert div >= 12, (
+            f"seed {seed}: trajectories diverge at row {div} "
+            f"(before the first full iteration's q=2 batch)"
+        )
+        np.testing.assert_allclose(
+            np.asarray(X[:div]), np.asarray(Xh[:div]), atol=5e-3
+        )
         best_c.append(float(Y.max()))
         best_h.append(float(Yh.max()))
-    # same-ballpark mean final quality as the host-driven loop
-    assert np.mean(best_c) > np.mean(best_h) - 2.0, (best_c, best_h)
+    # mean final quality within noise of the host loop (measured r4:
+    # compiled -11.2 vs host -11.7 over 6 seeds — compiled is ahead; the
+    # 0.5 bound fails on any material regression, not just a collapse)
+    assert np.mean(best_c) > np.mean(best_h) - 0.5, (best_c, best_h)
 
 
 def test_three_step_lookahead():
