@@ -178,19 +178,30 @@ def main():
     # — see BASELINE.md.
     from botorch_tpu.test_functions.multi_objective import DTLZ2
 
+    # Config found by the r4 seed-sweep (16 seeds per config, on-chip):
+    # fit budget dominates m=3 quality — fit_restarts=8 x maxiter=50
+    # scores 0.718 mean HV frac vs 0.648 for the r3 fit_restarts=2 x 15
+    # config, while HEAVIER acquisition optimization consistently hurts
+    # (SAA over-exploitation of a less-converged model: restarts=8/
+    # maxiter=25 scored 0.558). mc_samples=64 buys nothing over 32
+    # (0.693 vs 0.718), matching the m=2 finding. The acqf itself is
+    # verified against an exact host-side MC E[HVI] to ~3 digits
+    # (benchmarks/scratch/m3_acqf_check.py).
     m3_prob = DTLZ2(dim=4, num_objectives=3, negate=True)
     m3_iters, m3_q = 15, 2
     m3_cfg = dict(
-        num_restarts=4, raw_samples=32, fit_restarts=2,
-        fit_maxiter=15, acq_maxiter=15, mc_samples=64, q=m3_q,
+        num_restarts=4, raw_samples=32, fit_restarts=8,
+        fit_maxiter=50, acq_maxiter=15, mc_samples=32, q=m3_q,
     )
     m3_state = run_mo_bo_loop(
         m3_prob, d=4, m=3, ref_point=m3_prob.ref_point, n_init=10,
         iterations=m3_iters, key=jax.random.PRNGKey(0), **m3_cfg,
     )
     jax.block_until_ready(m3_state.Y)  # compile warmup
+    # 6 timed seeds: per-seed HV frac is chaotic (sigma ~0.06); 3 seeds
+    # cannot resolve the 0.681 replica bar the mean is compared against
     m3_times, m3_hvs = [], []
-    for rep in range(3):
+    for rep in range(6):
         t0 = time.perf_counter()
         m3_state = run_mo_bo_loop(
             m3_prob, d=4, m=3, ref_point=m3_prob.ref_point, n_init=10,

@@ -20,12 +20,25 @@ configs = {
                      fit_maxiter=30, acq_maxiter=15, mc_samples=32, q=2),
     "heavy2": dict(num_restarts=8, raw_samples=64, fit_restarts=4,
                    fit_maxiter=30, acq_maxiter=25, mc_samples=64, q=2),
+    "fh2": dict(num_restarts=4, raw_samples=32, fit_restarts=6,
+                fit_maxiter=40, acq_maxiter=15, mc_samples=32, q=2),
+    "fhacq": dict(num_restarts=8, raw_samples=64, fit_restarts=4,
+                  fit_maxiter=30, acq_maxiter=25, mc_samples=32, q=2),
+    "fhmc": dict(num_restarts=4, raw_samples=32, fit_restarts=4,
+                 fit_maxiter=30, acq_maxiter=15, mc_samples=96, q=2),
+    "fh3": dict(num_restarts=4, raw_samples=32, fit_restarts=8,
+                fit_maxiter=50, acq_maxiter=15, mc_samples=32, q=2),
+    "fh2mc64": dict(num_restarts=4, raw_samples=32, fit_restarts=6,
+                    fit_maxiter=40, acq_maxiter=15, mc_samples=64, q=2),
+    "fh3mc64": dict(num_restarts=4, raw_samples=32, fit_restarts=8,
+                    fit_maxiter=50, acq_maxiter=15, mc_samples=64, q=2),
 }
 which = sys.argv[1] if len(sys.argv) > 1 else "base"
 n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 cfg = configs[which]
 hvs, ts = [], []
-for s in range(n_seeds):
+seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+for s in range(seed0, seed0 + n_seeds):
     t0 = time.perf_counter()
     st = run_mo_bo_loop(prob, d=4, m=3, ref_point=ref, n_init=10,
                         iterations=15, key=jax.random.PRNGKey(s), seed=0,

@@ -166,9 +166,9 @@ def test_qnehvi_in_graph_m3():
     np.testing.assert_allclose(vj, v, rtol=5e-3)  # f32 fusion reassoc
 
 
-def test_compiled_mo_loop_m3():
-    """The fully-compiled MO loop now runs m = 3 in-graph end-to-end
-    (DTLZ2, 3 objectives) and improves hypervolume over its own prefix."""
+def test_compiled_mo_loop_m3_smoke():
+    """The fully-compiled MO loop runs m = 3 in-graph end-to-end (DTLZ2,
+    3 objectives): shape/accounting smoke at tiny budgets."""
     from botorch_tpu.mo_loop import observed_hypervolume, run_mo_bo_loop
     from botorch_tpu.test_functions.multi_objective import DTLZ2
 
@@ -180,10 +180,49 @@ def test_compiled_mo_loop_m3():
         fit_restarts=2, fit_maxiter=8, acq_maxiter=8, mc_samples=8,
     )
     assert int(s.n) == 12
-    hv_prefix = observed_hypervolume(s.replace(n=jnp.int32(8)), ref)
-    hv_full = observed_hypervolume(s, ref)
-    assert hv_full >= hv_prefix - 1e-6
-    assert hv_full > 0.0
+    assert np.isfinite(np.asarray(s.Y[: int(s.n)])).all()
+    assert observed_hypervolume(s, ref) > 0.0
+
+
+def test_compiled_mo_loop_m3_quality_bar():
+    """m = 3 quality at the FULL bench budget (bar-relative; replaces the
+    r3 monotone-HV assertion the verdict called vacuous).
+
+    Bars, all measured (BASELINE.md round-4 section):
+      * torch+scipy CPU replica of the reference at identical budgets:
+        HV frac 0.681 mean over 3 seeds — enforced on-chip each round
+        via `bench.py` -> `qnehvi_m3_hv_frac` in BENCH_r0N.json;
+      * 40 scrambled-Sobol points (pure space-filling at the same eval
+        budget): 0.565 mean / 0.584 max over 8 seeds;
+      * THIS config on THIS platform (CPU, seeds 0-2, deterministic):
+        0.738 / 0.650 / 0.553, mean 0.647. TPU 16-seed mean: 0.718.
+
+    The per-seed trajectories are chaotic in float reassociation (TS-
+    style argmax flips), so the assertion is on the 3-seed mean with
+    headroom: a material regression (e.g. the r3 fit budget, mean ~0.60,
+    or the over-optimized acq config, mean ~0.56) fails; float drift
+    does not."""
+    from botorch_tpu.mo_loop import observed_hypervolume, run_mo_bo_loop
+    from botorch_tpu.test_functions.multi_objective import DTLZ2
+
+    prob = DTLZ2(dim=4, num_objectives=3, negate=True)
+    ref = prob.ref_point
+    cfg = dict(num_restarts=4, raw_samples=32, fit_restarts=8,
+               fit_maxiter=50, acq_maxiter=15, mc_samples=32, q=2)
+    fracs = []
+    for seed in range(3):
+        s = run_mo_bo_loop(
+            prob, d=4, m=3, ref_point=ref, n_init=10, iterations=15,
+            key=jax.random.PRNGKey(seed), seed=0, **cfg,
+        )
+        fracs.append(observed_hypervolume(s, ref) / prob.max_hv)
+    mean_frac = float(np.mean(fracs))
+    # above the Sobol anchor by a clear margin, and within seed noise of
+    # the measured 0.647 (CPU) / 0.718 (TPU 16-seed) means
+    assert mean_frac >= 0.60, fracs
+    # no catastrophic seed: every run beats the Sobol-26 space-filling
+    # mean (0.504) at 40 evals
+    assert min(fracs) >= 0.51, fracs
 
 
 def test_overflow_poisons_with_nan():
