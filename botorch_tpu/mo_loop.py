@@ -236,7 +236,14 @@ def run_mo_bo_loop(
 ) -> MOBOState:
     """Fully-compiled MO BO run for a jittable `objective: (q, d) -> (q, m)`
     (all objectives MAXIMIZED, unit-cube inputs). One `jit`, one
-    `lax.fori_loop` — the multi-objective analogue of `run_bo_loop`."""
+    `lax.fori_loop` — the multi-objective analogue of `run_bo_loop`.
+
+    Budget guidance (r4 16-seed DTLZ2 m=3 sweep, BASELINE.md): FIT budget
+    dominates front quality — prefer raising `fit_restarts`/`fit_maxiter`
+    (bench uses 8/50) before anything else; heavier ACQUISITION
+    optimization (`num_restarts`/`acq_maxiter`) actively HURTS under a
+    weak fit by exploiting model optimism at the bound corners, and
+    `mc_samples` beyond 32 buys nothing at these scales."""
     capacity = capacity or (n_init + iterations * q)
     ref_point = jnp.asarray(ref_point, jnp.float32)
     cache_key = (
