@@ -146,3 +146,45 @@ if __name__ == "__main__":
     test_pallas_parity_with_fallback()
     test_pallas_at_max_n()
     print("pallas_linalg TPU parity OK")
+
+
+def test_large_n_closed_form_vjp_matches_autodiff():
+    """n > _MAX_N routes through `_qd_large`, whose r4 custom VJP
+    (blocked triangular inverse + syrk) must match gradients computed by
+    native autodiff through a plain Cholesky pipeline — including under
+    vmap (the fit's restart axis) and at a non-multiple of the TRSM
+    block size."""
+    from botorch_tpu.ops.pallas_linalg import _MAX_N
+
+    n = _MAX_N + 17  # odd size: exercises the partial trailing block
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(n, n)).astype(np.float32)
+    K = jnp.asarray(A @ A.T / n + 2.0 * np.eye(n, dtype=np.float32))
+    r = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    def via_op(K, r):
+        q, ld = mvn_quad_logdet(K, r)
+        return jnp.sum(q + 0.7 * ld)
+
+    def via_chol(K, r):
+        L = jnp.linalg.cholesky(K)
+        w = jax.scipy.linalg.solve_triangular(
+            L, r[..., None], lower=True)[..., 0]
+        q = jnp.sum(w * w, axis=-1)
+        ld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)),
+                           axis=-1)
+        return jnp.sum(q + 0.7 * ld)
+
+    gK_a, gr_a = jax.grad(via_op, argnums=(0, 1))(K, r)
+    gK_b, gr_b = jax.grad(via_chol, argnums=(0, 1))(K, r)
+    np.testing.assert_allclose(gK_a, gK_b, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(gr_a, gr_b, rtol=2e-4, atol=2e-5)
+
+    # batched via vmap (the MAP fit's restart axis)
+    Kb = jnp.stack([K, K + 0.5 * jnp.eye(n)])
+    rb = jnp.stack([r, 0.3 * r])
+    gb = jax.vmap(jax.grad(via_op, argnums=(0, 1)))(Kb, rb)
+    ge = [jax.grad(via_chol, argnums=(0, 1))(Kb[i], rb[i]) for i in range(2)]
+    for i in range(2):
+        np.testing.assert_allclose(gb[0][i], ge[i][0], rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(gb[1][i], ge[i][1], rtol=2e-4, atol=2e-5)
