@@ -43,7 +43,10 @@ from botorch_tpu.ops.chol import (
     solve_triangular,
 )
 from botorch_tpu.ops.kernels import kernel_fn
-from botorch_tpu.ops.pallas_linalg import mvn_quad_logdet
+from botorch_tpu.ops.pallas_linalg import (
+    _blocked_tril_inverse,
+    mvn_quad_logdet,
+)
 from botorch_tpu.posteriors.gaussian import GaussianPosterior
 
 Array = jax.Array
@@ -51,10 +54,12 @@ Array = jax.Array
 _log_2pi = math.log(2.0 * math.pi)
 
 # Largest n for which `train_chol` materializes the explicit L^-1 (the
-# MXU-matmul posterior fast path). Above this, the blocked trsm against a
-# full identity costs more HBM in XLA temporaries than the chip has at
-# n ~ 10^4, and per-query triangular solves are matmul-bound anyway.
-_EXPLICIT_LINV_MAX_N = 4096
+# MXU-matmul posterior fast path). The r4 blocked forward-substitution
+# inverse (`ops.pallas_linalg._blocked_tril_inverse`) is memory-safe at
+# any n — XLA's own trsm-against-identity OOMs above ~8k with per-panel
+# HLO temps — so the cap is now just the n^2-buffer budget (1 GB per
+# output at n = 16384 f32).
+_EXPLICIT_LINV_MAX_N = 16384
 
 
 class GPParams(struct.PyTreeNode):
@@ -189,11 +194,10 @@ class SingleTaskGP(struct.PyTreeNode):
         with an MXU matmul — on TPU the solve's sequential column loop is
         latency-bound and ~100x slower than the equivalent matmul.
 
-        For n > `_EXPLICIT_LINV_MAX_N` the explicit inverse is skipped
-        (XLA's blocked trsm against a full identity materializes O(n^2)
-        temporaries per block — ~7 GB of HBM at n = 10240) and a legacy
-        `(L, alpha)` cache is returned; `posterior` then solves per
-        query, which at that scale is matmul-bound anyway.
+        For n > `_EXPLICIT_LINV_MAX_N` (an n^2-buffer budget, not a
+        compiler limitation since the r4 blocked inverse) the explicit
+        inverse is skipped and a legacy `(L, alpha)` cache is returned;
+        `posterior` then solves per query.
         """
         params = self.params if params is None else params
         n = self.X.shape[-2]
@@ -212,8 +216,11 @@ class SingleTaskGP(struct.PyTreeNode):
                 w = solve_triangular(L, resid[..., None])
                 alpha = solve_triangular(L, w, trans=True)[..., 0]
                 return L, alpha, None
-            eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
-            Linv = solve_triangular(L, eye)
+            # blocked forward-substitution inverse: identical cost to
+            # XLA's trsm at n <= 4096, and the only compilable option
+            # beyond (XLA materializes per-panel temps - 15.7 GB at
+            # n=10240); measured 50 ms at n = 10240 on v5e
+            Linv = _blocked_tril_inverse(L)
             w = jnp.matmul(
                 Linv, resid[..., None], precision=jax.lax.Precision.HIGHEST
             )
