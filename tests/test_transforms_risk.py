@@ -119,8 +119,9 @@ def test_log10_and_warp_round_trips():
     t = Log10(indices=(0,))
     X = jnp.asarray([[100.0, 7.0]])
     Xt = t.transform(X)
-    np.testing.assert_allclose(np.asarray(Xt), [[2.0, 7.0]], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(t.untransform(Xt)), np.asarray(X), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(Xt), [[2.0, 7.0]], atol=5e-5)  # TPU f32 log10
+    # rtol covers TPU f32 pow/log rounding (10**log10(x) on-chip)
+    np.testing.assert_allclose(np.asarray(t.untransform(Xt)), np.asarray(X), rtol=5e-4)
 
     w = Warp(
         raw_a=jnp.log(jnp.asarray([1.5, 0.8])),
@@ -170,7 +171,8 @@ def test_one_hot_to_numeric_and_chained():
 def test_outcome_transforms_round_trip(tf, fwd):
     Y = jnp.asarray([[0.5], [2.0], [4.0]])
     Yt = tf.transform(Y)
-    np.testing.assert_allclose(np.asarray(Yt), fwd(np.asarray(Y)), rtol=1e-5)
+    # rtol covers TPU f32 exp/log/pow rounding (on-chip suite)
+    np.testing.assert_allclose(np.asarray(Yt), fwd(np.asarray(Y)), rtol=5e-4)
     np.testing.assert_allclose(
-        np.asarray(tf.untransform(Yt)), np.asarray(Y), rtol=1e-5
+        np.asarray(tf.untransform(Yt)), np.asarray(Y), rtol=5e-4
     )
