@@ -124,6 +124,45 @@ def main():
     qnei_iters_per_s = q_iters / min(q_times)
     qnei_regret = sum(q_regs) / len(q_regs)
 
+    # Config-3 closed loop (r4 verdict missing #1): SAASBO — NUTS refit
+    # every iteration + ensemble LogEI — on Branin embedded in d=8
+    # (dims 0,1 active). The regret bar is the measured torch replica of
+    # the reference's single-chain pyro pattern at IDENTICAL budgets
+    # (`reference_cpu_baseline.py --config saasbo`: warmup 256 /
+    # samples 128 / thin 8 -> 16 kept models, same acq budgets);
+    # reference anchor `/root/reference/botorch/fit.py:335-391`. The TPU
+    # side runs 8 parallel chains (chains are vmapped lanes — the axis
+    # pyro cannot use) with the same per-chain budget scaled so the kept
+    # ensemble is also 16 models.
+    from botorch_tpu.saasbo import run_saasbo
+
+    sb_prob = Branin(negate=True)
+
+    def sb_obj(X):
+        from botorch_tpu.utils.transforms import unnormalize as _unnorm
+
+        return sb_prob(_unnorm(X[:, :2], sb_prob.bounds))
+
+    sb_iters, sb_seeds = 16, 4
+    sb_cfg = dict(
+        n_init=10, iterations=sb_iters, num_warmup=256, num_samples=128,
+        thinning=8, num_chains=8, num_restarts=4, raw_samples=64,
+        acq_maxiter=50,
+    )
+    # compile warmup (padded shapes -> every seed reuses the programs)
+    _ = run_saasbo(sb_obj, d=8, key=jax.random.PRNGKey(0), **sb_cfg)
+    sb_times, sb_regs = [], []
+    for rep in range(sb_seeds):
+        t0 = time.perf_counter()
+        sb_res = run_saasbo(
+            sb_obj, d=8, key=jax.random.PRNGKey(rep + 1), **sb_cfg
+        )
+        jax.block_until_ready(sb_res.Y)
+        sb_times.append(time.perf_counter() - t0)
+        sb_regs.append(-float(sb_res.best_curve[-1]) - 0.397887)
+    saasbo_iters_per_s = sb_iters / min(sb_times)
+    saasbo_regret = sum(sb_regs) / len(sb_regs)
+
     # Config-4: qLogNEHVI multi-objective closed loop on BraninCurrin
     # (fully-compiled MO loop, m=2 in-graph staircase cells; reference
     # runs this host-driven through scipy per iteration). q=4 batches
@@ -338,6 +377,9 @@ def main():
         "nuts_vs_baseline": round(nuts_per_s / 8.0, 2),
         "qnei_q4_hartmann6_iters_per_s": round(qnei_iters_per_s, 3),
         "qnei_q4_hartmann6_regret": round(qnei_regret, 4),
+        "saasbo_iters_per_s": round(saasbo_iters_per_s, 3),
+        "saasbo_regret": round(saasbo_regret, 4),
+        "saasbo_regret_seeds": [round(r, 4) for r in sb_regs],
         "qnehvi_mo_iters_per_s": round(mo_iters_per_s, 3),
         "qnehvi_mo_evals_per_s": round(mo_evals_per_s, 3),
         "qnehvi_hv_frac_of_max": round(mo_hv_frac, 4),

@@ -516,12 +516,321 @@ def run_qnei(iters=15, n_init=16, q=4, n_mc=128, num_restarts=6,
     return iters / dt, HARTMANN6_OPT - float(Y.max())
 
 
+# ---------------------------------------------------------------------------
+# SAASBO replica (round-5): the reference's `fit_fully_bayesian_model_nuts`
+# (`botorch/fit.py:335-391`) runs ONE sequential pyro NUTS chain over the
+# SAAS posterior (`models/fully_bayesian.py:148-247` priors) and optimizes
+# an ensemble-reduced analytic acquisition. gpytorch/pyro are not
+# installable here, so this hand-rolls the SAME compute pattern:
+#   * SAAS potential in torch (Matern-5/2, HalfCauchy(0.1) global tau^2 x
+#     HalfCauchy(1) per-dim inverse-square lengthscales, Gamma(2,0.15)
+#     outputscale, MIN+Gamma(0.9,10) noise, N(0,1) mean — the exact
+#     constants of the reference), gradients via torch autograd;
+#   * single-chain NUTS (Hoffman-Gelman Alg. 6: slice variable, tree
+#     doubling to depth 6, dual-averaging step size to 0.8 accept, one
+#     diagonal mass re-estimation mid-warmup — the Stan/pyro warmup
+#     scheme at pyro's defaults);
+#   * thinned draws -> 16-model ensemble; analytic LogEI per model
+#     reduced with logmeanexp (`acquisition/logei.py` fully-Bayesian
+#     reduction), optimized by multi-start scipy L-BFGS-B.
+# Budgets mirror bench.py's saasbo config (warmup 256 / samples 128 /
+# thin 8 -> 16 kept models; the kept-ensemble size equals the TPU side's,
+# which runs 8 parallel chains because chains are free there).
+# ---------------------------------------------------------------------------
+
+SAAS_MIN_NOISE = 1e-4
+
+
+def _matern52_t(X1, X2, ls):
+    r = torch.cdist(X1 / ls, X2 / ls).clamp_min(1e-12)
+    s5r = math.sqrt(5.0) * r
+    return (1.0 + s5r + s5r * s5r / 3.0) * torch.exp(-s5r)
+
+
+def _saas_unpack(z, d):
+    mean = z[0]
+    outputscale = torch.exp(z[1])
+    noise_g = torch.exp(z[2])
+    tausq = torch.exp(z[3])
+    ilsq = torch.exp(z[4 : 4 + d])
+    ls = torch.rsqrt(tausq * ilsq)
+    return mean, outputscale, SAAS_MIN_NOISE + noise_g, noise_g, tausq, ilsq, ls
+
+
+def _saas_potential(z, X, Ys):
+    """Negative log joint of the SAAS model over unconstrained z
+    (constants: reference `fully_bayesian.py:168-247`)."""
+    d = X.shape[1]
+    mean, outputscale, noise, noise_g, tausq, ilsq, ls = _saas_unpack(z, d)
+    n = X.shape[0]
+    K = outputscale * _matern52_t(X, X, ls) + noise * torch.eye(n)
+    K = K + 1e-6 * K.diagonal().abs().mean() * torch.eye(n)
+    L = torch.linalg.cholesky(K)
+    resid = (Ys - mean).unsqueeze(-1)
+    alpha = torch.cholesky_solve(resid, L)
+    loglik = (
+        -0.5 * ((resid * alpha).sum() + n * math.log(2 * math.pi))
+        - torch.log(L.diagonal()).sum()
+    )
+    lp = -0.5 * mean * mean - 0.5 * math.log(2 * math.pi)
+    lp = lp + (2.0 * math.log(0.15) - math.lgamma(2.0)
+               + torch.log(outputscale) - 0.15 * outputscale)
+    lp = lp + (0.9 * math.log(10.0) - math.lgamma(0.9)
+               - 0.1 * torch.log(noise_g) - 10.0 * noise_g)
+    lp = lp + (math.log(2.0 / math.pi) - math.log(0.1)
+               - torch.log1p((tausq / 0.1) ** 2))
+    lp = lp + (math.log(2.0 / math.pi) - torch.log1p(ilsq**2)).sum()
+    log_jac = z[1:].sum()
+    return -(loglik + lp + log_jac)
+
+
+def _saas_pot_grad(z_np, X, Ys):
+    z = torch.tensor(z_np, requires_grad=True)
+    u = _saas_potential(z, X, Ys)
+    u.backward()
+    return float(u.detach()), z.grad.numpy().copy()
+
+
+def _nuts_chain(X, Ys, z0, num_warmup, num_samples, max_depth=6, seed=0,
+                target_accept=0.8):
+    """Single sequential NUTS chain (Hoffman-Gelman 2014 Alg. 6) with
+    dual-averaging step size and one mid-warmup diagonal mass update —
+    the reference's pyro `NUTS(..., max_tree_depth=6)` pattern."""
+    rng = np.random.default_rng(seed)
+    d = z0.shape[0]
+    inv_mass = np.ones(d)
+
+    def pot_grad(z):
+        return _saas_pot_grad(z, X, Ys)
+
+    def leapfrog(z, p, eps):
+        _, g = pot_grad(z)
+        p = p - 0.5 * eps * g
+        z = z + eps * inv_mass * p
+        u, g = pot_grad(z)
+        p = p - 0.5 * eps * g
+        return z, p, u
+
+    def energy(u, p):
+        return u + 0.5 * np.sum(inv_mass * p * p)
+
+    # reasonable initial step size (HG Alg. 4, cheap version)
+    eps = 0.1
+    u0, _ = pot_grad(z0)
+    p0 = rng.normal(size=d) / np.sqrt(inv_mass)
+    z1, p1, u1 = leapfrog(z0.copy(), p0.copy(), eps)
+    dE = energy(u0, p0) - energy(u1, p1)
+    k = 1.0 if dE > math.log(0.5) else -1.0
+    for _ in range(30):
+        eps = eps * (2.0**k)
+        z1, p1, u1 = leapfrog(z0.copy(), p0.copy(), eps)
+        dE = energy(u0, p0) - energy(u1, p1)
+        if (k == 1.0 and dE <= math.log(0.5)) or (
+            k == -1.0 and dE >= math.log(0.5)
+        ):
+            break
+
+    mu = math.log(10.0 * eps)
+    log_eps_bar, H_bar = 0.0, 0.0
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    z = z0.copy()
+    draws = []
+    warm_buf = []
+    n_alpha = [0.0, 0.0]  # sum alpha, n
+
+    def build_tree(z, p, log_u, v, j, eps, E0):
+        if j == 0:
+            z1, p1, u1 = leapfrog(z.copy(), p.copy(), v * eps)
+            E1 = energy(u1, p1)
+            n1 = 1 if log_u <= -E1 + E0 else 0
+            s1 = log_u < 1000.0 - E1 + E0
+            a = min(1.0, math.exp(min(E0 - E1, 0.0)))
+            return z1, p1, z1, p1, z1, n1, s1, a, 1
+        zm, pm, zp, pp, z1, n1, s1, a1, na1 = build_tree(
+            z, p, log_u, v, j - 1, eps, E0
+        )
+        if s1:
+            if v == -1:
+                zm, pm, _, _, z2, n2, s2, a2, na2 = build_tree(
+                    zm, pm, log_u, v, j - 1, eps, E0
+                )
+            else:
+                _, _, zp, pp, z2, n2, s2, a2, na2 = build_tree(
+                    zp, pp, log_u, v, j - 1, eps, E0
+                )
+            if n1 + n2 > 0 and rng.uniform() < n2 / (n1 + n2):
+                z1 = z2
+            a1 += a2
+            na1 += na2
+            dz = zp - zm
+            s1 = (
+                s2
+                and (np.dot(dz, inv_mass * pm) >= 0)
+                and (np.dot(dz, inv_mass * pp) >= 0)
+            )
+            n1 += n2
+        return zm, pm, zp, pp, z1, n1, s1, a1, na1
+
+    total = num_warmup + num_samples
+    for it in range(total):
+        p = rng.normal(size=d) / np.sqrt(inv_mass)
+        u_z, _ = pot_grad(z)
+        E0 = energy(u_z, p)
+        log_u = math.log(max(rng.uniform(), 1e-300))  # slice: u ~ U(0, e^-E0)
+        zm, pm, zp, pp = z.copy(), p.copy(), z.copy(), p.copy()
+        j, n_keep, s = 0, 1, True
+        z_next = z.copy()
+        a_sum, na_sum = 0.0, 1
+        while s and j < max_depth:
+            v = 1 if rng.uniform() < 0.5 else -1
+            if v == -1:
+                zm, pm, _, _, z1, n1, s1, a, na = build_tree(
+                    zm, pm, log_u, v, j, eps, E0
+                )
+            else:
+                _, _, zp, pp, z1, n1, s1, a, na = build_tree(
+                    zp, pp, log_u, v, j, eps, E0
+                )
+            if s1 and n1 > 0 and rng.uniform() < min(1.0, n1 / n_keep):
+                z_next = z1
+            n_keep += n1
+            dz = zp - zm
+            s = (
+                s1
+                and (np.dot(dz, inv_mass * pm) >= 0)
+                and (np.dot(dz, inv_mass * pp) >= 0)
+            )
+            a_sum, na_sum = a_sum + a, na
+            j += 1
+        z = z_next
+        if it < num_warmup:
+            # dual averaging
+            m = it + 1
+            H_bar = (1 - 1 / (m + t0)) * H_bar + (
+                target_accept - a_sum / max(na_sum, 1)
+            ) / (m + t0)
+            log_eps = mu - math.sqrt(m) / gamma * H_bar
+            w = m**-kappa
+            log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+            eps = math.exp(log_eps)
+            warm_buf.append(z.copy())
+            if it == num_warmup // 2:
+                # one diagonal mass window (Stan's windowed adaptation,
+                # collapsed to a single window at this budget)
+                seg = np.asarray(warm_buf[num_warmup // 4 :])
+                if seg.shape[0] >= 8:
+                    var = seg.var(0) + 1e-3
+                    inv_mass = var
+                # re-open step-size adaptation around the new metric
+                mu = math.log(10.0 * eps)
+                H_bar, log_eps_bar = 0.0, 0.0
+        else:
+            if it == num_warmup:
+                eps = math.exp(log_eps_bar)
+            draws.append(z.copy())
+    return np.asarray(draws)
+
+
+def _saas_log_ei_ensemble(Xq, X, Ys, models, best_f):
+    """log( mean_models EI ) via logmeanexp of per-model analytic LogEI —
+    the reference's fully-Bayesian acquisition reduction
+    (`acquisition/logei.py` + `utils/transforms.py:292-296`)."""
+    outs = []
+    n = X.shape[0]
+    for mean_c, outputscale, noise, ls in models:
+        K = outputscale * _matern52_t(X, X, ls) + noise * torch.eye(n)
+        L = torch.linalg.cholesky(K)
+        Ks = outputscale * _matern52_t(X, Xq, ls)
+        alpha = torch.cholesky_solve((Ys - mean_c).unsqueeze(-1), L)
+        mu = mean_c + (Ks.mT @ alpha).squeeze(-1)
+        v = torch.linalg.solve_triangular(L, Ks, upper=False)
+        var = (outputscale - (v * v).sum(0)).clamp_min(1e-12)
+        sigma = var.sqrt()
+        u = (mu - best_f) / sigma
+        log_phi = -0.5 * u * u - 0.5 * math.log(2 * math.pi)
+        log_uPhi = torch.where(
+            u > 0,
+            torch.log(u.clamp_min(1e-300)) + torch.special.log_ndtr(u),
+            torch.full_like(u, -np.inf),
+        )
+        small = torch.logaddexp(log_phi, log_uPhi)
+        neg = u <= 0
+        ratio = torch.where(
+            neg,
+            (-u).clamp_min(0)
+            * torch.exp(torch.special.log_ndtr(u) - log_phi),
+            torch.zeros_like(u),
+        ).clamp(max=1 - 1e-12)
+        out = torch.where(neg, log_phi + torch.log1p(-ratio), small)
+        outs.append(out + torch.log(sigma))
+    stack = torch.stack(outs)  # (S, nq)
+    return torch.logsumexp(stack, 0) - math.log(stack.shape[0])
+
+
+def run_saasbo_replica(iters=16, n_init=10, d=8, num_warmup=256,
+                       num_samples=128, thin=8, num_restarts=4,
+                       raw_samples=64, acq_maxiter=50, seed=0):
+    """Branin embedded in d=8 (dims 0,1 active), unit-cube inputs —
+    the same problem/budgets as bench.py's saasbo config. Returns
+    (iters_per_s, final_regret, transitions_per_s)."""
+    rng = np.random.default_rng(seed)
+    X = torch.tensor(rng.uniform(size=(n_init, d)))
+    Y = branin(X[:, :2])
+    t0 = time.perf_counter()
+    n_trans = 0
+    for it in range(iters):
+        mu_y, sd_y = Y.mean(), Y.std(correction=1).clamp_min(1e-8)
+        Ys = (Y - mu_y) / sd_y
+        z0 = np.concatenate(
+            [[0.0, 0.0, math.log(0.01), math.log(0.1)], np.zeros(d)]
+        ) + 0.5 * rng.normal(size=4 + d)
+        draws = _nuts_chain(
+            X, Ys, z0, num_warmup, num_samples,
+            seed=seed * 1000 + it,
+        )
+        n_trans += num_warmup + num_samples
+        kept = draws[::thin]
+        models = []
+        for z in kept:
+            mean_c, outputscale, noise, _, _, _, ls = _saas_unpack(
+                torch.tensor(z), d
+            )
+            models.append((mean_c, outputscale, noise, ls))
+        best_f = float(Ys.max())
+        sob = qmc.Sobol(d, scramble=True, seed=seed * 999 + it)
+        raws = torch.tensor(sob.random(raw_samples))
+        with torch.no_grad():
+            vals = _saas_log_ei_ensemble(raws, X, Ys, models, best_f)
+        w = torch.softmax(vals - vals.mean(), 0)
+        idx = torch.multinomial(w, num_restarts, replacement=False)
+        ics = raws[idx]
+
+        def f_np(v):
+            Xq = torch.tensor(v.reshape(num_restarts, d), requires_grad=True)
+            val = _saas_log_ei_ensemble(Xq, X, Ys, models, best_f).sum()
+            (-val).backward()
+            return float(-val.detach()), Xq.grad.neg().numpy().ravel().copy()
+
+        res = minimize(f_np, ics.numpy().ravel(), jac=True, method="L-BFGS-B",
+                       bounds=[(0.0, 1.0)] * (num_restarts * d),
+                       options={"maxiter": acq_maxiter})
+        cands = torch.tensor(res.x.reshape(num_restarts, d))
+        with torch.no_grad():
+            fin = _saas_log_ei_ensemble(cands, X, Ys, models, best_f)
+        cand = cands[int(fin.argmax())].unsqueeze(0)
+        X = torch.cat([X, cand])
+        Y = torch.cat([Y, branin(cand[:, :2])])
+    dt = time.perf_counter() - t0
+    return iters / dt, -float(Y.max()) - BRANIN_OPT, n_trans / dt
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="logei",
-                   choices=["logei", "qnei", "qnehvi2", "qnehvi3", "all"])
+                   choices=["logei", "qnei", "qnehvi2", "qnehvi3", "saasbo",
+                            "all"])
     p.add_argument("--seeds", type=int, default=1)
     args = p.parse_args()
 
@@ -558,6 +867,15 @@ def main():
              float(np.mean([r[1] / max_hv for r in rs])), "hv_frac_of_max",
              {"seeds": args.seeds,
               "hv_fracs": [round(r[1] / max_hv, 4) for r in rs]})
+    if args.config in ("saasbo", "all"):
+        rs = [run_saasbo_replica(seed=s) for s in range(args.seeds)]
+        emit("reference_cpu_saasbo_iters_per_s",
+             float(np.mean([r[0] for r in rs])),
+             float(np.mean([r[1] for r in rs])), "final_regret",
+             {"seeds": args.seeds,
+              "regrets": [round(r[1], 4) for r in rs],
+              "transitions_per_s": round(
+                  float(np.mean([r[2] for r in rs])), 2)})
     if args.config in ("qnehvi3", "all"):
         max_hv = 1.1**3 - math.pi / 6.0
         rs = [run_qnehvi(dtlz2_m3, d=4, m=3,

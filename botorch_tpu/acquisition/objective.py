@@ -258,6 +258,22 @@ def mvar_exact_risk(
 
     def obj(samples: Array) -> Array:
         m = samples.shape[-1]
+        # The candidate grid has G = (n_w - ceil(alpha n_w) + 1)^m points
+        # and the dominance/duplicate filters build G x G boolean masks
+        # PER perturbation block. Guard the envelope explicitly: past
+        # G = 4096 the masks are > 16 MB/block and vmapping over
+        # (batch x q) blocks multiplies that — fail loudly instead of
+        # OOMing the compile (r4 verdict weak #7).
+        G = (n_w - alpha_count + 1) ** m
+        if G > 4096:
+            raise ValueError(
+                f"mvar_exact_risk grid size G={G} (n_w={n_w}, "
+                f"alpha={alpha}, m={m}) exceeds the supported envelope "
+                "(G <= 4096): the exact set computation builds G^2 "
+                "dominance masks per perturbation block. Increase alpha, "
+                "reduce n_w, or use the coordinatewise `mvar_risk` / "
+                "scalarized `mars_risk` approximations."
+            )
         lead = samples.shape[:-2]
         q = samples.shape[-2] // n_w
         blocks = samples.reshape(-1, n_w, m)  # (B*q, n_w, m)

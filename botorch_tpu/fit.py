@@ -166,7 +166,7 @@ def fit_gp(
     res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter, shard_fn=shard_fn)
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
-    return model.replace(params=unravel(res.x[best]))
+    return model.replace(params=unravel(res.x[best]), _cache=None)
 
 
 def fit_gp_with_timeout(
@@ -193,7 +193,7 @@ def fit_gp_with_timeout(
     )
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
-    return model.replace(params=unravel(res.x[best]))
+    return model.replace(params=unravel(res.x[best]), _cache=None)
 
 
 def fit_transformed_gp(
@@ -286,6 +286,7 @@ def fit_transformed_gp(
     best = jnp.argmin(fun)
     p_best, w_best = unravel(res.x[best])
     return TransformedModel(
-        model=base.replace(params=p_best, X=w_best.transform(X_raw)),
+        model=base.replace(params=p_best, X=w_best.transform(X_raw),
+                           _cache=None),
         input_transform=w_best,
     )

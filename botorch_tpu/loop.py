@@ -108,7 +108,7 @@ def _bo_step(
 
     model = make_gp(state.X, state.Y[:, None], mask=mask, kernel=kernel)
     if params0 is not None:
-        model = model.replace(params=params0)
+        model = model.replace(params=params0, _cache=None)
     model = fit_gp(
         model,
         k_fit,

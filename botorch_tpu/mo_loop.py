@@ -98,7 +98,7 @@ def _mo_bo_step(
 
     model = make_gp(state.X, state.Y, mask=mask, kernel=kernel)
     if params0 is not None:
-        model = model.replace(params=params0)
+        model = model.replace(params=params0, _cache=None)
     model = fit_gp(
         model, k_fit, num_restarts=fit_restarts, maxiter=fit_maxiter,
         shard_fn=shard_fn,

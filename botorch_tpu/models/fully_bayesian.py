@@ -232,7 +232,7 @@ def load_saas_samples(z_samples: Array, base: SingleTaskGP) -> SingleTaskGP:
         )
 
     params = jax.vmap(one)(z_samples)  # leading (S, m=1, ...)
-    return base.replace(params=params, _is_fully_bayesian=True)
+    return base.replace(params=params, _is_fully_bayesian=True, _cache=None)
 
 
 def median_lengthscales(model: SingleTaskGP) -> Array:

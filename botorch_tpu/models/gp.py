@@ -113,6 +113,13 @@ class SingleTaskGP(struct.PyTreeNode):
     # marks NUTS-fitted ensembles (reference `utils/transforms.py:196`
     # `is_fully_bayesian`); fantasy batches leave this False
     _is_fully_bayesian: bool = struct.field(pytree_node=False, default=False)
+    # train cache carried by `condition_on_observations` (the O(k)
+    # bordered `update_chol` path — reference semantics: gpytorch fantasy
+    # models reuse low-rank root updates, `models/model.py:393-407`).
+    # INVARIANT: valid only for the (X, Y, params) it was built with;
+    # every `replace(params=...)` site must pass `_cache=None` (flax
+    # overwrites user-defined `replace`, so this cannot be automated).
+    _cache: Optional[tuple] = None
 
     # ------------------------------------------------------------------ #
     @property
@@ -199,6 +206,8 @@ class SingleTaskGP(struct.PyTreeNode):
         inverse is skipped and a legacy `(L, alpha)` cache is returned;
         `posterior` then solves per query.
         """
+        if params is None and self._cache is not None:
+            return self._cache
         params = self.params if params is None else params
         n = self.X.shape[-2]
         explicit_inv = n <= _EXPLICIT_LINV_MAX_N
@@ -357,20 +366,116 @@ class SingleTaskGP(struct.PyTreeNode):
         return post.affine(self.Y_loc, self.Y_scale)
 
     # ------------------------------------------------------------------ #
-    def condition_on_observations(self, X_new: Array, Y_new: Array) -> "SingleTaskGP":
+    def condition_on_observations(
+        self, X_new: Array, Y_new: Array, cache: Optional[tuple] = None
+    ) -> "SingleTaskGP":
         """Append observations (raw units), keeping transforms and
-        hyperparameters fixed (`models/model.py:149` semantics)."""
+        hyperparameters fixed (`models/model.py:149` semantics).
+
+        When a train cache exists (passed explicitly, stored by a prior
+        conditioning, or — for unmasked models — computed here on first
+        use), the returned model carries an O(n^2 k) bordered-update
+        cache (`ops/chol.update_chol` block extension) instead of paying
+        a fresh O((n+k)^3) factorization at its first posterior call —
+        the explicit analogue of gpytorch's fantasy low-rank root
+        updates (reference `models/model.py:393-407`,
+        `utils/low_rank.py`)."""
         Y_std = (Y_new - self.Y_loc) / self.Y_scale
         model = self.replace(
             X=jnp.concatenate([self.X, X_new], axis=-2),
             Y=jnp.concatenate([self.Y, Y_std], axis=-2),
+            _cache=None,
         )
         if self.Yvar is not None:
             noise = jnp.broadcast_to(
                 jnp.mean(self.Yvar, axis=-2, keepdims=True), Y_std.shape
             )
             model = model.replace(Yvar=jnp.concatenate([self.Yvar, noise], axis=-2))
-        return model
+        if self.mask is not None:
+            # padded models grow through their mask, not concatenation —
+            # the bordered update does not apply
+            return model
+        cache = self._cache if cache is None else cache
+        if cache is None:
+            cache = self.train_chol()
+        new_cache = self._bordered_cache_update(cache, X_new, model)
+        return model.replace(_cache=new_cache)
+
+    def _bordered_cache_update(
+        self, cache: tuple, X_new: Array, model: "SingleTaskGP"
+    ) -> tuple:
+        """Extend a `(L, alpha[, Linv])` train cache to the bordered
+        train covariance of `model` (self + the `k` new rows) in
+        O(n^2 k) per output. `model` must be `self` with `X_new` (and
+        standardized targets) appended and no mask."""
+        from botorch_tpu.ops.chol import update_chol
+
+        hp = jax.lax.Precision.HIGHEST
+        if len(cache) == 3:
+            L_all, alpha_all, Linv_all = cache
+        else:
+            L_all, alpha_all = cache
+            Linv_all = None
+        k = X_new.shape[-2]
+        n_tot = model.num_train
+        keep_inv = Linv_all is not None and n_tot <= _EXPLICIT_LINV_MAX_N
+
+        def one(out: int):
+            p = jax.tree_util.tree_map(lambda a: a[..., out], self.params)
+            p = p.replace(raw_lengthscale=self.params.raw_lengthscale[..., out, :])
+            B = self._kernel(p, self.X, X_new)  # (..., n, k)
+            C = self._kernel(p, X_new, X_new)  # (..., k, k)
+            if model.Yvar is not None:
+                nd_new = model.Yvar[..., self.num_train :, out]
+            else:
+                nd_new = jnp.broadcast_to(
+                    p.noise[..., None], (*p.noise.shape, k)
+                )
+            C = C + nd_new[..., :, None] * jnp.eye(k, dtype=C.dtype)
+            L = L_all[..., out, :, :]
+            L_new = update_chol(L, B, C)
+            resid = model.Y[..., out] - p.mean[..., None]
+            if not keep_inv:
+                w = solve_triangular(L_new, resid[..., None])
+                alpha = solve_triangular(L_new, w, trans=True)[..., 0]
+                return L_new, alpha, None
+            Linv = Linv_all[..., out, :, :]
+            # block inverse of [[L, 0], [L21, L22]]:
+            # [[Linv, 0], [-L22^-1 L21 Linv, L22^-1]] — O(k n^2) matmuls
+            L21 = L_new[..., self.num_train :, : self.num_train]
+            L22 = L_new[..., self.num_train :, self.num_train :]
+            L22inv = solve_triangular(
+                L22, jnp.broadcast_to(jnp.eye(k, dtype=L22.dtype), L22.shape)
+            )
+            bl = -jnp.matmul(
+                jnp.matmul(L22inv, L21, precision=hp), Linv, precision=hp
+            )
+            top = jnp.concatenate(
+                [Linv, jnp.zeros((*Linv.shape[:-2], self.num_train, k),
+                                 dtype=Linv.dtype)],
+                axis=-1,
+            )
+            bot = jnp.concatenate([bl, L22inv], axis=-1)
+            Linv_new = jnp.concatenate([top, bot], axis=-2)
+            w = jnp.matmul(Linv_new, resid[..., None], precision=hp)
+            alpha = jnp.matmul(
+                jnp.swapaxes(Linv_new, -1, -2), w, precision=hp
+            )[..., 0]
+            return L_new, alpha, Linv_new
+
+        Ls, alphas, Linvs = [], [], []
+        for out in range(self.num_outputs):
+            Lo, a, Li = one(out)
+            Ls.append(Lo)
+            alphas.append(a)
+            Linvs.append(Li)
+        if not keep_inv:
+            return (jnp.stack(Ls, axis=-3), jnp.stack(alphas, axis=-2))
+        return (
+            jnp.stack(Ls, axis=-3),
+            jnp.stack(alphas, axis=-2),
+            jnp.stack(Linvs, axis=-3),
+        )
 
     def train_targets_original(self) -> Array:
         """Train targets in original units, (n, m)."""

@@ -370,9 +370,11 @@ def mvn_quad_logdet(K: Array, r: Array) -> tuple[Array, Array]:
 
     One fused Pallas kernel on TPU (n <= 64); arbitrary leading batch
     dims; differentiable in both arguments (closed-form VJP — no
-    factorization in the backward pass). For n > 64 the standard
-    `lax.linalg` pipeline is used with native autodiff, so the forward
-    pass is a single factorization (see `_qd_large`). `K` must already
+    factorization in the backward pass). For n > 64 `_qd_large` runs a
+    single-factorization forward (`lax.linalg.cholesky` + triangular
+    solves) with a closed-form `custom_vjp` backward built on the
+    blocked explicit inverse (`_blocked_tril_inverse`) — reverse-mode
+    only, like the small-n kernel. `K` must already
     include noise/jitter on its diagonal. This is THE primitive under
     every exact-GP marginal likelihood (`SingleTaskGP.mll`) and the SAAS
     NUTS potential (`models/fully_bayesian.py`), replacing the

@@ -80,6 +80,34 @@ class GaussianPosterior(struct.PyTreeNode):
         )
         return self.rsample_from_base_samples(base)
 
+    def quantile(self, value: Array) -> Array:
+        """Marginal per-point quantiles (reference
+        `posteriors/gpytorch.py:167-172`): the inverse CDF of each
+        marginal `N(mean, var)` at probability `value`. A scalar `value`
+        returns shape `(..., q, m)`; a vector of `k` probabilities gets a
+        leading `k` axis, matching the reference's stacking rule."""
+        value = jnp.asarray(value, self.mean.dtype)
+        sd = jnp.sqrt(self.variance)
+        z = jax.scipy.special.ndtri(value)
+        if value.ndim == 0:
+            return self.mean + z * sd
+        z = z.reshape((-1,) + (1,) * self.mean.ndim)
+        return self.mean + z * sd
+
+    def density(self, value: Array) -> Array:
+        """Marginal probability density at `value` (reference
+        `posteriors/gpytorch.py:174-179`): `N(mean, var)` pdf evaluated
+        pointwise. Scalar `value` broadcasts; a vector of `k` values gets
+        a leading `k` axis."""
+        value = jnp.asarray(value, self.mean.dtype)
+        sd = jnp.sqrt(jnp.maximum(self.variance, 1e-30))
+        if value.ndim == 0:
+            u = (value - self.mean) / sd
+        else:
+            v = value.reshape((-1,) + (1,) * self.mean.ndim)
+            u = (v - self.mean) / sd
+        return jnp.exp(-0.5 * u * u) / (sd * jnp.sqrt(2.0 * jnp.pi))
+
     def affine(self, loc: Array, scale: Array) -> "GaussianPosterior":
         """Apply the per-output affine map `y -> loc + scale * y` (outcome
         de-standardization; reference `transforms/outcome.py:217-449`)."""

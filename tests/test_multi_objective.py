@@ -369,6 +369,26 @@ def test_mvar_exact_m3_and_fallback_level():
             )
 
 
+def test_mvar_exact_grid_envelope_guard():
+    """Past G = (n_w - ceil(alpha n_w) + 1)^m = 4096 grid points the G^2
+    dominance masks would OOM the compile — the risk factory must fail
+    loudly with guidance instead (r4 verdict weak #7)."""
+    import pytest as _pytest
+
+    from botorch_tpu.acquisition.objective import mvar_exact_risk
+
+    # n_w=128, alpha=0.8, m=3 -> G = 27^3 = 19683 > 4096
+    s = jnp.zeros((1, 128, 3), jnp.float32)
+    with _pytest.raises(ValueError, match="envelope"):
+        mvar_exact_risk(128, 0.8)(s)
+    # just inside: n_w=24, alpha=0.75, m=3 -> G = 7^3 = 343 works
+    s2 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 24, 3)), jnp.float32
+    )
+    out = mvar_exact_risk(24, 0.75)(s2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_pfes_truncated_entropy_matches_monte_carlo():
     # Entropy of a Gaussian truncated to the dominated staircase: the
     # closed form must match direct MC estimation of -E[log p_trunc].
