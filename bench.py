@@ -143,10 +143,15 @@ def main():
 
         return sb_prob(_unnorm(X[:, :2], sb_prob.bounds))
 
-    sb_iters, sb_seeds = 16, 4
+    # Acquisition budget: the r5 8-seed sweep measured mean regret 1.47
+    # at restarts 4/raw 64, 0.89 at 16/256, 0.61 at 32/512 — in d=8 the
+    # ensemble-LogEI landscape needs the restarts, and they are nearly
+    # free on-chip (42 s/seed at every setting; the NUTS refits
+    # dominate). The replica runs the SAME 32/512 budget.
+    sb_iters, sb_seeds = 16, 6
     sb_cfg = dict(
         n_init=10, iterations=sb_iters, num_warmup=256, num_samples=128,
-        thinning=8, num_chains=8, num_restarts=4, raw_samples=64,
+        thinning=8, num_chains=8, num_restarts=32, raw_samples=512,
         acq_maxiter=50,
     )
     # compile warmup (padded shapes -> every seed reuses the programs)
@@ -237,10 +242,12 @@ def main():
         iterations=m3_iters, key=jax.random.PRNGKey(0), **m3_cfg,
     )
     jax.block_until_ready(m3_state.Y)  # compile warmup
-    # 6 timed seeds: per-seed HV frac is chaotic (sigma ~0.06); 3 seeds
-    # cannot resolve the 0.681 replica bar the mean is compared against
+    # 12 timed seeds (r4 verdict weak #2): per-seed HV frac is chaotic
+    # (sigma ~0.06), so 6 seeds left the 0.681 replica-bar comparison at
+    # ~0.7 stderr of clearance; 12 halves the stderr (~0.017) for ~30 s
+    # more wall-clock
     m3_times, m3_hvs = [], []
-    for rep in range(6):
+    for rep in range(12):
         t0 = time.perf_counter()
         m3_state = run_mo_bo_loop(
             m3_prob, d=4, m=3, ref_point=m3_prob.ref_point, n_init=10,
@@ -250,7 +257,13 @@ def main():
         m3_times.append(time.perf_counter() - t0)
         m3_hvs.append(observed_hypervolume(m3_state, m3_prob.ref_point))
     m3_iters_per_s = m3_iters / min(m3_times)
-    m3_hv_frac = (sum(m3_hvs) / len(m3_hvs)) / m3_prob.max_hv
+    m3_fracs = [h / m3_prob.max_hv for h in m3_hvs]
+    m3_hv_frac = sum(m3_fracs) / len(m3_fracs)
+    m3_hv_frac_min = min(m3_fracs)
+    m3_hv_stderr = float(
+        (sum((f - m3_hv_frac) ** 2 for f in m3_fracs)
+         / (len(m3_fracs) - 1)) ** 0.5 / len(m3_fracs) ** 0.5
+    )
 
     # Config-5: TuRBO-style Thompson candidate throughput at n=2048.
     from botorch_tpu.models.gp import make_gp
@@ -386,6 +399,8 @@ def main():
         "qnehvi_log10_hv_diff": round(mo_log_hv_diff, 4),
         "qnehvi_m3_iters_per_s": round(m3_iters_per_s, 3),
         "qnehvi_m3_hv_frac": round(m3_hv_frac, 4),
+        "qnehvi_m3_hv_frac_min": round(m3_hv_frac_min, 4),
+        "qnehvi_m3_hv_frac_stderr": round(m3_hv_stderr, 4),
         "turbo_candidates_per_s_n2048": round(cand_per_s, 1),
         "svgp_fit_steps_per_s_n16384": round(svgp_steps_per_s, 1),
         "turbo_svgp_candidates_per_s_n16384": round(svgp_cand_per_s, 1),

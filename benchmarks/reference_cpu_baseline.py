@@ -768,8 +768,8 @@ def _saas_log_ei_ensemble(Xq, X, Ys, models, best_f):
 
 
 def run_saasbo_replica(iters=16, n_init=10, d=8, num_warmup=256,
-                       num_samples=128, thin=8, num_restarts=4,
-                       raw_samples=64, acq_maxiter=50, seed=0):
+                       num_samples=128, thin=8, num_restarts=32,
+                       raw_samples=512, acq_maxiter=50, seed=0):
     """Branin embedded in d=8 (dims 0,1 active), unit-cube inputs —
     the same problem/budgets as bench.py's saasbo config. Returns
     (iters_per_s, final_regret, transitions_per_s)."""

@@ -1,4 +1,5 @@
-"""Decompose the n=10240 MLL fit cost: forward, grad, kernel build."""
+"""Decompose the n=10240 MLL fit cost: forward, grad, kernel build,
+line-search eval counts (r4 verdict weak #3 wall-clock accounting)."""
 import time
 import jax, jax.numpy as jnp
 import numpy as np
@@ -21,9 +22,16 @@ def timeit(f, *a, reps=3):
 
 mll = jax.jit(lambda p: m.replace(params=p).mll())
 p0 = m.params
-print("mll fwd      %.1f ms" % (timeit(mll, p0)*1e3), flush=True)
+print("mll fwd (1 lane)      %.1f ms" % (timeit(mll, p0)*1e3), flush=True)
 g = jax.jit(jax.value_and_grad(lambda p: m.replace(params=p).mll()))
-print("mll val+grad %.1f ms" % (timeit(g, p0)*1e3), flush=True)
+print("mll val+grad (1 lane) %.1f ms" % (timeit(g, p0)*1e3), flush=True)
+
+# batched 2-lane versions (the fit vmaps 2 restarts in lockstep)
+p2 = jax.tree_util.tree_map(lambda a: jnp.stack([a, a * 1.1]), p0)
+mll2 = jax.jit(jax.vmap(lambda p: m.replace(params=p).mll()))
+print("mll fwd (2 lanes)     %.1f ms" % (timeit(mll2, p2)*1e3), flush=True)
+g2 = jax.jit(jax.vmap(jax.value_and_grad(lambda p: m.replace(params=p).mll())))
+print("mll v+g (2 lanes)     %.1f ms" % (timeit(g2, p2)*1e3), flush=True)
 
 # kernel matrix build alone
 from botorch_tpu.ops import kernels as K
@@ -33,7 +41,24 @@ print("K build      %.1f ms" % (timeit(kfn, ls)*1e3), flush=True)
 chol = jax.jit(jnp.linalg.cholesky)
 A = kfn(ls) + 0.1*jnp.eye(n)
 print("chol         %.1f ms" % (timeit(chol, A)*1e3), flush=True)
-# full fit for reference
-from botorch_tpu.fit import fit_gp
-fitf = jax.jit(lambda k: fit_gp(m, k, num_restarts=2, maxiter=25).params)
-print("fit 2x25     %.2f s" % timeit(fitf, jax.random.PRNGKey(0), reps=1), flush=True)
+
+# full fit with eval accounting: replicate fit_gp but keep the raw result
+from botorch_tpu.fit import _prepare_fit
+from botorch_tpu.ops.lbfgs import multi_start_lbfgsb
+
+obj, unravel, x0, lo, hi = _prepare_fit(m, jax.random.PRNGKey(0), 2)
+solve = jax.jit(lambda x0: multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=25))
+res = solve(x0)
+jax.block_until_ready(res.x)
+t0 = time.perf_counter()
+res = solve(x0)
+jax.block_until_ready(res.x)
+dt = time.perf_counter() - t0
+print("fit 2x25     %.2f s" % dt, flush=True)
+print("n_iter per lane:", np.asarray(res.n_iter),
+      " n_fev per lane:", np.asarray(res.n_fev), flush=True)
+ni = int(np.max(np.asarray(res.n_iter)))
+nf = int(np.max(np.asarray(res.n_fev)))
+print("implied: %d joint iters, %d evals/lane -> %.0f ms per joint iter, "
+      "%.0f ms per eval" % (ni, nf, dt/max(ni,1)*1e3, dt/max(nf,1)*1e3),
+      flush=True)

@@ -54,6 +54,15 @@ def main(argv: list[str]) -> int:
         "JAX_PLATFORMS"
     ) == "cpu" else None
 
+    # Persistent XLA compilation cache (r4 verdict item 5): repeated
+    # sweeps of the same files skip the 20-40 s (2-3 min for the n=64
+    # Pallas kernel) recompiles, which dominate on-chip suite wall-clock.
+    cache_dir = env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     args = [a for a in argv if a != "--full"]
     full = "--full" in argv
     targets = args or (["tests"] if full else TPU_GATED)
