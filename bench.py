@@ -391,7 +391,11 @@ def main():
         "qnei_q4_hartmann6_iters_per_s": round(qnei_iters_per_s, 3),
         "qnei_q4_hartmann6_regret": round(qnei_regret, 4),
         "saasbo_iters_per_s": round(saasbo_iters_per_s, 3),
+        # measured CPU-replica bar (BASELINE.md, `--config saasbo`, 3
+        # seeds): 0.0865 iters/s, regret mean 0.919
+        "saasbo_vs_replica_iters": round(saasbo_iters_per_s / 0.0865, 2),
         "saasbo_regret": round(saasbo_regret, 4),
+        "saasbo_regret_bar_replica": 0.919,
         "saasbo_regret_seeds": [round(r, 4) for r in sb_regs],
         "qnehvi_mo_iters_per_s": round(mo_iters_per_s, 3),
         "qnehvi_mo_evals_per_s": round(mo_evals_per_s, 3),

@@ -585,10 +585,21 @@ def _saas_potential(z, X, Ys):
 
 
 def _saas_pot_grad(z_np, X, Ys):
-    z = torch.tensor(z_np, requires_grad=True)
-    u = _saas_potential(z, X, Ys)
-    u.backward()
-    return float(u.detach()), z.grad.numpy().copy()
+    # The reference registers pyro exception handlers so LinAlgError /
+    # non-PSD during leapfrog counts as a rejected proposal instead of a
+    # crash (`models/fully_bayesian.py:67-78`); +inf energy does the same
+    # for this hand-rolled chain.
+    try:
+        z = torch.tensor(z_np, requires_grad=True)
+        u = _saas_potential(z, X, Ys)
+        u.backward()
+        uf = float(u.detach())
+        g = z.grad.numpy().copy()
+        if not (math.isfinite(uf) and np.all(np.isfinite(g))):
+            raise FloatingPointError
+        return uf, g
+    except (torch.linalg.LinAlgError, FloatingPointError, RuntimeError):
+        return float("inf"), np.zeros_like(z_np)
 
 
 def _nuts_chain(X, Ys, z0, num_warmup, num_samples, max_depth=6, seed=0,

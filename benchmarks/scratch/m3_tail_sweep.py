@@ -19,6 +19,9 @@ CONFIGS = {
     "fh3_r8":   (10, 15, 8, 64, 8, 50, 15, 32),
     "fh3_ni14": (14, 13, 4, 32, 8, 50, 15, 32),
     "fh3_f12":  (10, 15, 4, 32, 12, 60, 15, 32),
+    # r5 second wave: combine the r8 acq widening with heavier fit / mc
+    "r8_f12":   (10, 15, 8, 64, 12, 60, 15, 32),
+    "r8_mc64":  (10, 15, 8, 64, 8, 50, 15, 64),
 }
 
 names = sys.argv[1:] or list(CONFIGS)

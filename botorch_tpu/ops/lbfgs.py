@@ -42,6 +42,8 @@ class LBFGSState(NamedTuple):
     rho: Array  # (m,) 1/(s.y) history ring (0 = invalid slot)
     head: Array  # () int32: next ring slot to write
     n_iter: Array  # () int32
+    n_fev: Array  # () int32: objective evaluations (incl. line-search trials)
+    t_prev: Array  # () last accepted line-search step (warm start)
     stall: Array  # () int32: consecutive iterations without material descent
     converged: Array  # () bool
     failed: Array  # () bool (line search failed to make progress)
@@ -52,6 +54,7 @@ class LBFGSResult(NamedTuple):
     fun: Array
     grad: Array
     n_iter: Array
+    n_fev: Array
     converged: Array
 
 
@@ -124,6 +127,8 @@ def lbfgs_init(
         rho=jnp.zeros((history,), dtype),
         head=jnp.int32(0),
         n_iter=jnp.int32(0),
+        n_fev=jnp.int32(1),
+        t_prev=jnp.asarray(1.0, dtype),
         stall=jnp.int32(0),
         converged=pgn <= tol,
         failed=jnp.bool_(False),
@@ -171,6 +176,14 @@ def lbfgs_run(
         dg = jnp.where(bad, -jnp.dot(st.g, st.g), dg)
 
         # Projected backtracking Armijo line search (value-only trials).
+        # The trial step interpolates the 1-d quadratic through f(0), f'(0)
+        # and the failed trial instead of plain halving, with an aggressive
+        # 0.1x cut when the trial value is non-finite (an exploding
+        # objective under halving from t=1 costs many wasted Choleskys at
+        # large n); the first trial warm-starts from the last accepted step
+        # so lanes that live at small steps stop re-paying the backtrack
+        # ladder every iteration (scipy L-BFGS-B's Wolfe search keeps the
+        # same kind of step memory).
         c1 = 1e-4
 
         def ls_cond(carry):
@@ -179,12 +192,18 @@ def lbfgs_run(
             return (~armijo) & (it < max_ls)
 
         def ls_body(carry):
-            t, _, _, it = carry
-            t = 0.5 * t
+            t, f_t, _, it = carry
+            denom = f_t - st.f - t * dg
+            t_q = -0.5 * dg * t * t / jnp.maximum(denom, 1e-30)
+            t = jnp.where(
+                jnp.isfinite(f_t) & (denom > 0),
+                jnp.clip(t_q, 0.1 * t, 0.5 * t),
+                0.1 * t,
+            )
             x_new = project(st.x + t * d)
             return t, fun(x_new), x_new, it + 1
 
-        t0 = jnp.asarray(1.0, dtype)
+        t0 = jnp.minimum(jnp.asarray(1.0, dtype), 4.0 * st.t_prev)
         x_try = project(st.x + t0 * d)
         t, f_new, x_new, ls_iters = jax.lax.while_loop(
             ls_cond, ls_body, (t0, fun(x_try), x_try, jnp.int32(0))
@@ -219,6 +238,9 @@ def lbfgs_run(
         new = LBFGSState(
             x=x1, f=f1, g=g1, S=S, Y=Y, rho=rho, head=head,
             n_iter=st.n_iter + 1,
+            # 1 initial trial + backtracks (value-only) + 1 value_and_grad
+            n_fev=st.n_fev + 2 + ls_iters,
+            t_prev=jnp.where(progressed, t, st.t_prev),
             stall=stall,
             converged=converged,
             failed=~progressed,
@@ -259,6 +281,7 @@ def lbfgsb(
         fun=final.f,
         grad=final.g,
         n_iter=final.n_iter,
+        n_fev=final.n_fev,
         converged=final.converged,
     )
 
@@ -327,5 +350,6 @@ def multi_start_lbfgsb(
         if time.monotonic() - t0 >= timeout_sec:
             break
     return LBFGSResult(
-        x=st.x, fun=st.f, grad=st.g, n_iter=st.n_iter, converged=st.converged
+        x=st.x, fun=st.f, grad=st.g, n_iter=st.n_iter, n_fev=st.n_fev,
+        converged=st.converged,
     )

@@ -40,6 +40,8 @@ TPU_GATED = [
     "tests/test_pallas_linalg.py",
     # software-f64 on the chip (r4: the x64 opt-in target actually runs)
     "tests/test_x64.py::test_x64_software_f64_on_chip",
+    # SAASBO closed-loop regret vs the measured CPU-replica bar (r5)
+    "tests/test_saasbo_loop.py::test_saasbo_regret_bar_on_chip",
 ]
 
 
