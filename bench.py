@@ -222,20 +222,21 @@ def main():
     # — see BASELINE.md.
     from botorch_tpu.test_functions.multi_objective import DTLZ2
 
-    # Config found by the r4 seed-sweep (16 seeds per config, on-chip):
-    # fit budget dominates m=3 quality — fit_restarts=8 x maxiter=50
-    # scores 0.718 mean HV frac vs 0.648 for the r3 fit_restarts=2 x 15
-    # config, while HEAVIER acquisition optimization consistently hurts
-    # (SAA over-exploitation of a less-converged model: restarts=8/
-    # maxiter=25 scored 0.558). mc_samples=64 buys nothing over 32
-    # (0.693 vs 0.718), matching the m=2 finding. The acqf itself is
-    # verified against an exact host-side MC E[HVI] to ~3 digits
+    # Config history: the r4 sweep found fit budget dominates m=3 quality
+    # (fit_restarts=8 x 50 scored 0.718 vs 0.648 at 2x15, while heavier
+    # acq HURT with a weak fit). The r5 16-seed tail sweep
+    # (`benchmarks/scratch/m3_tail_sweep.py`, post line-search fix) found
+    # that WITH the heavy fit, doubling acq restarts now helps the TAIL:
+    # restarts 8/raw 64 + fit 12x60 scores mean 0.7227 / min 0.6483 vs
+    # the r4 config's mean 0.694 / min 0.414 — the worst seed moves above
+    # the CPU replica's own minimum (0.646). The acqf itself is verified
+    # against an exact host-side MC E[HVI] to ~3 digits
     # (benchmarks/scratch/m3_acqf_check.py).
     m3_prob = DTLZ2(dim=4, num_objectives=3, negate=True)
     m3_iters, m3_q = 15, 2
     m3_cfg = dict(
-        num_restarts=4, raw_samples=32, fit_restarts=8,
-        fit_maxiter=50, acq_maxiter=15, mc_samples=32, q=m3_q,
+        num_restarts=8, raw_samples=64, fit_restarts=12,
+        fit_maxiter=60, acq_maxiter=15, mc_samples=32, q=m3_q,
     )
     m3_state = run_mo_bo_loop(
         m3_prob, d=4, m=3, ref_point=m3_prob.ref_point, n_init=10,

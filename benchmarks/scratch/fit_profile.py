@@ -47,7 +47,8 @@ from botorch_tpu.fit import _prepare_fit
 from botorch_tpu.ops.lbfgs import multi_start_lbfgsb
 
 obj, unravel, x0, lo, hi = _prepare_fit(m, jax.random.PRNGKey(0), 2)
-solve = jax.jit(lambda x0: multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=25))
+solve = jax.jit(lambda x0: multi_start_lbfgsb(obj, x0, bounds=(lo, hi),
+                                              maxiter=25, ls="interp"))
 res = solve(x0)
 jax.block_until_ready(res.x)
 t0 = time.perf_counter()

@@ -23,8 +23,11 @@ def timeit(f, *a, reps=3):
 
 trsm = jax.jit(lambda L, B: jax.lax.linalg.triangular_solve(
     L, B, left_side=True, lower=True))
-t = timeit(trsm, L, B)
-print(f"lax trsm (L^-1 I)        {t*1e3:8.1f} ms", flush=True)
+try:
+    t = timeit(trsm, L, B)
+    print(f"lax trsm (L^-1 I)        {t*1e3:8.1f} ms", flush=True)
+except Exception as e:  # confirmed r5: OOM — 15.7 GB of row-panel temps
+    print(f"lax trsm (L^-1 I)        FAILED: {str(e)[:120]}", flush=True)
 
 def blocked_trsm(L, B, nb=1024):
     """X = L^-1 B: blocked forward substitution, updates on the MXU."""

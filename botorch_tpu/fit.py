@@ -163,7 +163,8 @@ def fit_gp(
     if key is None:
         key = jax.random.PRNGKey(0)
     obj, unravel, x0, lo, hi = _prepare_fit(model, key, num_restarts)
-    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter, shard_fn=shard_fn)
+    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter,
+                             ls="interp", shard_fn=shard_fn)
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
     return model.replace(params=unravel(res.x[best]), _cache=None)
@@ -188,8 +189,8 @@ def fit_gp_with_timeout(
         key = jax.random.PRNGKey(0)
     obj, unravel, x0, lo, hi = _prepare_fit(model, key, num_restarts)
     res = multi_start_lbfgsb(
-        obj, x0, bounds=(lo, hi), maxiter=maxiter, shard_fn=shard_fn,
-        timeout_sec=timeout_sec, timeout_chunk=timeout_chunk,
+        obj, x0, bounds=(lo, hi), maxiter=maxiter, ls="interp",
+        shard_fn=shard_fn, timeout_sec=timeout_sec, timeout_chunk=timeout_chunk,
     )
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
@@ -281,7 +282,8 @@ def fit_transformed_gp(
     lo = ravel_pytree((lo_p, lo_w))[0].astype(dtype)
     hi = ravel_pytree((hi_p, hi_w))[0].astype(dtype)
 
-    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter)
+    res = multi_start_lbfgsb(obj, x0, bounds=(lo, hi), maxiter=maxiter,
+                             ls="interp")
     fun = jnp.where(jnp.isfinite(res.fun), res.fun, jnp.inf)
     best = jnp.argmin(fun)
     p_best, w_best = unravel(res.x[best])

@@ -133,6 +133,13 @@ def _mo_bo_step(
         # X_pending. Statically unrolled — q compiled sub-programs inside
         # the one jit. Measurably better fronts than the joint q-batch
         # ascent at the same budgets (the r2 bench's hv_frac gap).
+        # ls="interp": on the qNEHVI surfaces the interpolating line
+        # search measures BETTER fronts and 2x throughput vs halving
+        # (r5 16-seed m=3 sweep: 0.723/min 0.648 vs 0.690/min 0.550;
+        # m=2 6-seed: hv 0.967 at 5.25 iters/s vs 0.963 at 2.25) — the
+        # opposite of the d=8 SAASBO ensemble-LogEI landscape, hence a
+        # per-surface knob rather than a global default (BASELINE.md
+        # §Round-5).
         cands = []
         val = None
         for j in range(q):
@@ -157,7 +164,7 @@ def _mo_bo_step(
                 num_restarts=num_restarts, raw_samples=raw_samples,
                 key=sub, maxiter=acq_maxiter, sobol=sobol,
                 sobol_skip=skip + jnp.uint32(j) * jnp.uint32(raw_samples),
-                shard_fn=shard_fn,
+                shard_fn=shard_fn, ls="interp",
             )
             cands.append(cand_j)
         cand = jnp.concatenate(cands, axis=0)
@@ -179,7 +186,7 @@ def _mo_bo_step(
         acqf, unit_bounds, q=q,
         num_restarts=num_restarts, raw_samples=raw_samples,
         key=k_acq, maxiter=acq_maxiter, sobol=sobol, sobol_skip=skip,
-        shard_fn=shard_fn,
+        shard_fn=shard_fn, ls="interp",
     )
     return cand, val, model.params
 

@@ -143,6 +143,7 @@ def lbfgs_run(
     tol: float = 1e-5,
     ftol: float = 0.0,
     max_ls: int = 25,
+    ls: str = "halving",
 ) -> LBFGSState:
     """Advance the solver from `init` until convergence/failure or until
     the TOTAL iteration count reaches `iter_limit` (a dynamic value — the
@@ -176,14 +177,21 @@ def lbfgs_run(
         dg = jnp.where(bad, -jnp.dot(st.g, st.g), dg)
 
         # Projected backtracking Armijo line search (value-only trials).
-        # The trial step interpolates the 1-d quadratic through f(0), f'(0)
-        # and the failed trial instead of plain halving, with an aggressive
-        # 0.1x cut when the trial value is non-finite (an exploding
-        # objective under halving from t=1 costs many wasted Choleskys at
-        # large n); the first trial warm-starts from the last accepted step
-        # so lanes that live at small steps stop re-paying the backtrack
-        # ladder every iteration (scipy L-BFGS-B's Wolfe search keeps the
-        # same kind of step memory).
+        # Two modes (measured head-to-head on chip, BASELINE.md §Round-5):
+        #   * "halving" (default; acquisition optimization): finite failed
+        #     trials halve as in classic backtracking — accepting the
+        #     LARGEST step on the ladder matters on multi-modal acquisition
+        #     surfaces (quadratic interpolation's conservative steps cost
+        #     2x regret on the d=8 SAASBO ensemble-LogEI landscape);
+        #     non-finite trials cut 0.1x (those are rejected either way, so
+        #     skipping ladder rungs there is quality-neutral).
+        #   * "interp" (model fitting): quadratic interpolation through
+        #     f(0), f'(0) and the failed trial, plus warm-starting the
+        #     first trial from the last accepted step (scipy L-BFGS-B's
+        #     Wolfe search keeps the same kind of step memory). On the
+        #     smooth MLL surface this matches halving's fits while cutting
+        #     line-search evals ~2x (n=10240 MAP fit: 14.5 -> 10.0 s),
+        #     where each wasted trial is a full O(n^3) Cholesky.
         c1 = 1e-4
 
         def ls_cond(carry):
@@ -193,17 +201,23 @@ def lbfgs_run(
 
         def ls_body(carry):
             t, f_t, _, it = carry
-            denom = f_t - st.f - t * dg
-            t_q = -0.5 * dg * t * t / jnp.maximum(denom, 1e-30)
-            t = jnp.where(
-                jnp.isfinite(f_t) & (denom > 0),
-                jnp.clip(t_q, 0.1 * t, 0.5 * t),
-                0.1 * t,
-            )
+            if ls == "interp":
+                denom = f_t - st.f - t * dg
+                t_q = -0.5 * dg * t * t / jnp.maximum(denom, 1e-30)
+                t = jnp.where(
+                    jnp.isfinite(f_t) & (denom > 0),
+                    jnp.clip(t_q, 0.1 * t, 0.5 * t),
+                    0.1 * t,
+                )
+            else:
+                t = jnp.where(jnp.isfinite(f_t), 0.5 * t, 0.1 * t)
             x_new = project(st.x + t * d)
             return t, fun(x_new), x_new, it + 1
 
-        t0 = jnp.minimum(jnp.asarray(1.0, dtype), 4.0 * st.t_prev)
+        if ls == "interp":
+            t0 = jnp.minimum(jnp.asarray(1.0, dtype), 4.0 * st.t_prev)
+        else:
+            t0 = jnp.asarray(1.0, dtype)
         x_try = project(st.x + t0 * d)
         t, f_new, x_new, ls_iters = jax.lax.while_loop(
             ls_cond, ls_body, (t0, fun(x_try), x_try, jnp.int32(0))
@@ -254,7 +268,7 @@ def lbfgs_run(
     return jax.lax.while_loop(cond, body, init)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7))
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
 def lbfgsb(
     fun: Callable[[Array], Array],
     x0: Array,
@@ -264,17 +278,20 @@ def lbfgsb(
     tol: float = 1e-5,
     ftol: float = 0.0,
     max_ls: int = 25,
+    ls: str = "halving",
 ) -> LBFGSResult:
     """Minimize `fun` from `x0 (k,)` subject to `lo <= x <= hi`.
 
     Batch over restarts with `jax.vmap(lambda x0: lbfgsb(fun, x0, ...))`;
     under vmap the while-loop runs until every lane is done, with finished
-    lanes masked to no-ops.
+    lanes masked to no-ops. `ls` picks the line-search mode: "halving"
+    (default; multi-modal acquisition surfaces) or "interp" (smooth model
+    fits — see `lbfgs_run`).
     """
     st = lbfgs_init(fun, x0, bounds=bounds, history=history, tol=tol)
     final = lbfgs_run(
         fun, st, bounds=bounds, iter_limit=maxiter, tol=tol, ftol=ftol,
-        max_ls=max_ls,
+        max_ls=max_ls, ls=ls,
     )
     return LBFGSResult(
         x=final.x,
@@ -294,6 +311,7 @@ def multi_start_lbfgsb(
     history: int = 10,
     tol: float = 1e-5,
     max_ls: int = 25,
+    ls: str = "halving",
     shard_fn: Optional[Callable[[Array], Array]] = None,
     timeout_sec: Optional[float] = None,
     timeout_chunk: int = 20,
@@ -318,7 +336,7 @@ def multi_start_lbfgsb(
     if timeout_sec is None:
         solver = lambda x0: lbfgsb(
             fun, x0, bounds=bounds, maxiter=maxiter, history=history,
-            tol=tol, max_ls=max_ls,
+            tol=tol, max_ls=max_ls, ls=ls,
         )
         return jax.vmap(solver)(x0_batch)
 
@@ -333,7 +351,8 @@ def multi_start_lbfgsb(
     run_b = jax.jit(
         jax.vmap(
             lambda st, lim: lbfgs_run(
-                fun, st, bounds=bounds, iter_limit=lim, tol=tol, max_ls=max_ls
+                fun, st, bounds=bounds, iter_limit=lim, tol=tol,
+                max_ls=max_ls, ls=ls,
             ),
             in_axes=(0, None),
         )

@@ -158,6 +158,7 @@ def optimize_acqf(
     # IC screening (gen-time feasibility bias); the solve itself uses the
     # augmented-Lagrangian path, not this weight
     timeout_sec: Optional[float] = None,
+    ls: str = "halving",
 ):
     """Maximize `acqf` over `q` joint candidates in the box `bounds (2, d)`.
 
@@ -197,6 +198,10 @@ def optimize_acqf(
             (reference `optimize_acqf(..., timeout_sec)` →
             `minimize_with_timeout`): iterations run in compiled chunks
             and the best-so-far candidates are returned on expiry.
+        ls: line-search mode for the unconstrained L-BFGS path —
+            "halving" (default; robust on multi-modal surfaces) or
+            "interp" (quadratic interpolation + step memory; measured
+            better on qNEHVI surfaces — see `ops/lbfgs.lbfgs_run`).
 
     Returns:
         `(candidates (q, d), value)` — or, with `return_full`, the per-
@@ -337,6 +342,7 @@ def optimize_acqf(
             ics.reshape(num_restarts, q * d),
             bounds=(lo, hi),
             maxiter=maxiter,
+            ls=ls,
             shard_fn=shard_fn,
             timeout_sec=timeout_sec,
         )
