@@ -148,7 +148,10 @@ def main():
     # ensemble-LogEI landscape needs the restarts, and they are nearly
     # free on-chip (42 s/seed at every setting; the NUTS refits
     # dominate). The replica runs the SAME 32/512 budget.
-    sb_iters, sb_seeds = 16, 6
+    # 8 seeds: per-seed sigma ~0.45 (r5 8-seed measure: mean 0.613,
+    # seeds 0.78/0.91/0.99/0.05/0.32/1.48/0.09/0.29), so 6 seeds left
+    # the 0.919 replica-bar comparison under-resolved; +2 seeds ~85 s
+    sb_iters, sb_seeds = 16, 8
     sb_cfg = dict(
         n_init=10, iterations=sb_iters, num_warmup=256, num_samples=128,
         thinning=8, num_chains=8, num_restarts=32, raw_samples=512,

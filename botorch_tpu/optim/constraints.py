@@ -37,6 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: f32 HIGHEST-precision contractions (TPU einsum/@ default is bf16)
+_HI = jax.lax.Precision.HIGHEST
+
 Array = jax.Array
 
 #: returned candidates are guaranteed to violate linear constraints by no
@@ -166,13 +169,17 @@ class AffineSubspace:
         )
 
     def project(self, x: Array) -> Array:
-        """Euclidean projection of `(..., d)` onto the subspace."""
-        r = jnp.einsum("kd,...d->...k", self.A, x) - self.b
-        return x - jnp.einsum("dk,...k->...d", self.pinv, r)
+        """Euclidean projection of `(..., d)` onto the subspace.
+
+        Contractions are pinned to f32 HIGHEST precision: the TPU default
+        (bf16 passes) leaves 2^-9-level equality residuals, far above the
+        roundoff-exit contract (measured on chip, r5 sweep)."""
+        r = jnp.einsum("kd,...d->...k", self.A, x, precision=_HI) - self.b
+        return x - jnp.einsum("dk,...k->...d", self.pinv, r, precision=_HI)
 
     def violation(self, x: Array) -> Array:
         """max |A x - b| over constraints, per `(..., d)` point."""
-        r = jnp.einsum("kd,...d->...k", self.A, x) - self.b
+        r = jnp.einsum("kd,...d->...k", self.A, x, precision=_HI) - self.b
         return jnp.max(jnp.abs(r), axis=-1)
 
 
@@ -209,7 +216,10 @@ def project_box_affine_halfspaces(
             # project onto each violated halfspace cyclically (one sweep)
             def body(vv, i):
                 a = A_ineq[i]
-                gap = jnp.minimum(jnp.einsum("d,...d->...", a, vv) - b_ineq[i], 0.0)
+                gap = jnp.minimum(
+                    jnp.einsum("d,...d->...", a, vv, precision=_HI)
+                    - b_ineq[i], 0.0,
+                )
                 return vv - (gap / nrm2[i])[..., None] * a, None
 
             v, _ = jax.lax.scan(body, v, jnp.arange(A_ineq.shape[0]))
@@ -256,13 +266,17 @@ def linear_violation(
     total = jnp.zeros(Xq.shape[:-2])
     if inequality_constraints:
         A, b = _dense_rows_flat(inequality_constraints, q, d)
-        lhs = jnp.einsum("kf,...f->...k", jnp.asarray(A, v.dtype), v)
+        lhs = jnp.einsum(
+            "kf,...f->...k", jnp.asarray(A, v.dtype), v, precision=_HI
+        )
         total = jnp.maximum(
             total, jnp.max(jnp.maximum(jnp.asarray(b, v.dtype) - lhs, 0.0), -1)
         )
     if equality_constraints:
         A, b = _dense_rows_flat(equality_constraints, q, d)
-        lhs = jnp.einsum("kf,...f->...k", jnp.asarray(A, v.dtype), v)
+        lhs = jnp.einsum(
+            "kf,...f->...k", jnp.asarray(A, v.dtype), v, precision=_HI
+        )
         total = jnp.maximum(
             total, jnp.max(jnp.abs(lhs - jnp.asarray(b, v.dtype)), -1)
         )
@@ -314,8 +328,8 @@ def make_al_objective(
 
     def constraint_vals(v: Array) -> tuple[Array, Array]:
         Xq = v.reshape(q, d)
-        h = A_eq @ v - b_eq  # (n_eq,) — want 0
-        c_lin = A_in @ v - b_in  # want >= 0
+        h = jnp.matmul(A_eq, v, precision=_HI) - b_eq  # (n_eq,) — want 0
+        c_lin = jnp.matmul(A_in, v, precision=_HI) - b_in  # want >= 0
         c_nl = (
             nonlinear_values(Xq, nl) if nl else jnp.zeros((0,), v.dtype)
         )
