@@ -124,7 +124,11 @@ def update_chol(L: Array, B: Array, C: Array) -> Array:
     """
     n, q = B.shape[-2], B.shape[-1]
     L12 = solve_triangular(L, B, lower=True)  # (n, q)
-    S = C - jnp.swapaxes(L12, -1, -2) @ L12  # Schur complement (q, q)
+    # Schur complement (q, q) — f32 HIGHEST: the TPU default bf16 matmul
+    # injects 2^-9-level error into S and hence L22 (seen on chip, r5)
+    S = C - jnp.matmul(
+        jnp.swapaxes(L12, -1, -2), L12, precision=jax.lax.Precision.HIGHEST
+    )
     L22 = psd_safe_cholesky(S)
     top = jnp.concatenate(
         [L, jnp.zeros((*L.shape[:-2], n, q), dtype=L.dtype)], axis=-1
