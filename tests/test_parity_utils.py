@@ -40,16 +40,18 @@ def test_lognorm_norm_roundtrip_and_mc():
     np.testing.assert_allclose(E.mean(0), np.asarray(m_ln), rtol=5e-3)
     np.testing.assert_allclose(np.cov(E.T), np.asarray(C_ln), rtol=3e-2)
     var = jnp.diagonal(Cov)
+    # rtol TPU-recalibrated alongside the roundtrip above: TPU f32 exp
+    # differs from numpy's by ~3e-6 rel (measured r5 on-chip sweep).
     np.testing.assert_allclose(
         np.asarray(norm_to_lognorm_mean(mu, var)),
         np.exp(np.asarray(mu) + np.asarray(var) / 2),
-        rtol=1e-6,
+        rtol=1e-5,
     )
     np.testing.assert_allclose(
         np.asarray(norm_to_lognorm_variance(mu, var)),
         np.exp(2 * np.asarray(mu) + np.asarray(var))
         * (np.exp(np.asarray(var)) - 1),
-        rtol=1e-6,
+        rtol=1e-5,
     )
 
 
